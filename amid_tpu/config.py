@@ -1,0 +1,250 @@
+"""Typed configuration for the amid_tpu framework.
+
+Replaces the reference's argparse flag soup (train_sr.py:359-389,
+train_sr_dr.py:547-577) with dataclasses. Dead reference flags (graph_nums,
+head_nums, m1..m4_layers, mask_rate_*, bs_ratio — defined but never read in the
+reference) are intentionally dropped. Reference boolean flags used `type=bool`
+(so `--overlap False` was truthy); here booleans are real booleans.
+
+Hard-coded reference constants (train_sr.py:447-457) become explicit fields:
+`user_vocab` / `item_vocab` default to the reference's doubled sizes and
+`pad_id = item_length + 1`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+# Reference hard-coded vocab constants (train_sr.py:447-450). The reference
+# then doubles them "for pad id" (train_sr.py:456-457); we keep the raw value
+# and expose the doubled table size via properties.
+REF_USER_LENGTH = 895510
+REF_ITEM_LENGTH = 447410
+
+
+@dataclass
+class ModelConfig:
+    """Model hyper-parameters. Mirrors reference constructor args
+
+    (model_seq.py:56-58 etc.): emb_dim=128, hid_dim=32, seq_len per dataset,
+    batch-size-tied InnerComp/InterComp thresholds ts1/ts2.
+    """
+
+    backbone: str = "sasrec"  # one of {"gru4rec", "sasrec", "bert4rec"}
+    emb_dim: int = 128
+    hid_dim: int = 32
+    seq_len: int = 20  # 20 for mybank, 150 for amazon (train_sr.py:366)
+    batch_size: int = 256  # InnerComp/InterComp tie a weight to this (model_seq.py:457)
+    is_inc: bool = False  # intra-domain multi-interest message passing
+    is_itc: bool = False  # cross-domain message passing
+    ts1: float = 0.5  # InnerComp hard threshold (model_seq.py:467)
+    ts2: float = 0.5  # InterComp hard threshold (model_seq.py:492)
+    is_dr: bool = False  # doubly-robust heads (model_seq.py:412-414)
+    item_length: int = REF_ITEM_LENGTH
+    user_length: int = REF_USER_LENGTH
+    # Transformer dims for SASRec encoder (model_seq.py:331-357): 2 blocks,
+    # 8 heads, dropout 0.5.
+    sasrec_blocks: int = 2
+    sasrec_heads: int = 8
+    sasrec_dropout: float = 0.5
+    # BERT4Rec stack (model_seq.py:264-267): hard-coded 2 blocks of
+    # TransformerBlock(128, 4, 512, 0.1) in the reference.
+    bert_blocks: int = 2
+    bert_heads: int = 4
+    bert_ff_dim: int = 512
+    bert_dropout: float = 0.1
+    # Reference BERT4Rec builds its padding mask from seq_d2 for BOTH domains
+    # (model_seq.py:286-294). True preserves that quirk for parity; False uses
+    # each domain's own ids.
+    bert_d2_mask_quirk: bool = True
+    # Numerics: parameters are stored fp32; matmuls run in bf16 on TPU when
+    # use_bf16 is set (MXU-native).
+    use_bf16: bool = False
+    # Kernel selection: "xla" (let XLA fuse) or "pallas" (custom TPU kernels)
+    # for the hot ops. "auto" uses pallas on TPU backends, xla elsewhere.
+    kernels: str = "auto"
+
+    @property
+    def item_table_size(self) -> int:
+        # Reference doubles item_length "for pad id" (train_sr.py:456).
+        return self.item_length * 2
+
+    @property
+    def user_table_size(self) -> int:
+        return self.user_length * 2
+
+    @property
+    def pad_id(self) -> int:
+        # pad_id = item_length + 1 (train_sr.py:451)
+        return self.item_length + 1
+
+    @property
+    def enc_seq_len(self) -> int:
+        """Encoder input length: doubled when InnerComp concatenates the
+        aggregated peer message along time (model_seq.py:66,471)."""
+        return self.seq_len * 2 if self.is_inc else self.seq_len
+
+
+@dataclass
+class DataConfig:
+    """Dataset selection + leave-one-out protocol constants.
+
+    Mirrors reference path assembly (train_sr.py:451: csv =
+    `{ds}_dataset/{dm}_train{int(ratio*100)}.csv`) and sampling protocol
+    (dataset_seq.py:177-250).
+    """
+
+    dataset_type: str = "amazon"
+    domain_type: str = "cloth_sport"
+    data_root: str = "/root/reference"
+    overlap_ratio: float = 0.25
+    seq_len: int = 20
+    neg_nums: int = 199  # eval negatives (999 in run.sh)
+    long_length: int = 7  # long-tail threshold (dataset_seq.py:13)
+    pad_id: int = REF_ITEM_LENGTH + 1
+
+    def train_csv(self) -> str:
+        return (
+            f"{self.data_root}/{self.dataset_type}_dataset/"
+            f"{self.domain_type}_train{int(self.overlap_ratio * 100)}.csv"
+        )
+
+    def train_dr_csv(self) -> str:
+        return (
+            f"{self.data_root}/{self.dataset_type}_dataset/"
+            f"{self.domain_type}_train{int(self.overlap_ratio * 100)}_DR.csv"
+        )
+
+    def test_csv(self) -> str:
+        return (
+            f"{self.data_root}/{self.dataset_type}_dataset/"
+            f"{self.domain_type}_test.csv"
+        )
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh layout: `data` axis for batch parallelism, `model` axis for
+    row-sharded embedding tables. (New in the TPU build; the reference is
+    single-GPU, SURVEY.md §2.5.)"""
+
+    data_axis: int = -1  # -1: all remaining devices
+    model_axis: int = 1
+
+    def axis_sizes(self, n_devices: int) -> tuple[int, int]:
+        model = max(1, self.model_axis)
+        if n_devices % model != 0:
+            raise ValueError(f"n_devices={n_devices} not divisible by model={model}")
+        data = self.data_axis if self.data_axis > 0 else n_devices // model
+        if data * model != n_devices:
+            raise ValueError(
+                f"mesh {data}x{model} != n_devices {n_devices}"
+            )
+        return data, model
+
+
+@dataclass
+class TrainConfig:
+    """Training loop configuration (reference defaults: train_sr.py:360-389)."""
+
+    epochs: int = 50
+    lr: float = 5e-4
+    lr2: float = 0.01  # DR phase-B lr multiplier: optimizer2 lr = lr*lr2 (train_sr_dr.py:669)
+    dr_e_w: float = 0.1  # weight on loss_dr_e in phase A (train_sr_dr.py:221)
+    seeds: int = 5  # 5-seed protocol (train_sr.py:439)
+    overlap_eval: bool = False  # bucket metrics by overlap users (train_sr.py:75)
+    model_dir: str = "model/"
+    log_every: int = 20  # log train loss every N steps (train_sr.py:218)
+    checkpoint: bool = True  # real checkpointing (absent in reference, SURVEY §5)
+    checkpoint_keep: int = 1
+    eval_batch_drop_last: bool = True  # reference val loader drop_last=True (train_sr.py:455)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def __post_init__(self) -> None:
+        # Keep seq_len / batch size / pad_id consistent between sub-configs.
+        self.data.seq_len = self.model.seq_len
+        self.data.pad_id = self.model.pad_id
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def _add_reference_flags(p: argparse.ArgumentParser) -> None:
+    """Reference-compatible CLI surface (train_sr.py:359-389)."""
+    p.add_argument("--epoch", type=int, default=50)
+    p.add_argument("--bs", type=int, default=256)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--lr2", type=float, default=0.01)
+    p.add_argument("--emb_dim", type=int, default=128)
+    p.add_argument("--hid_dim", type=int, default=32)
+    p.add_argument("--seq_len", type=int, default=20)
+    p.add_argument("--long_length", type=int, default=7)
+    p.add_argument("--neg_nums", type=int, default=199)
+    p.add_argument("--overlap_ratio", type=float, default=0.5)
+    p.add_argument("-md", "--model-dir", type=str, default="model/")
+    p.add_argument("--model", type=str, default="sasrec")
+    p.add_argument("-ds", "--dataset_type", type=str, default="amazon")
+    p.add_argument("-dm", "--domain_type", type=str, default="movie_book")
+    # Real booleans (the reference's `type=bool` made "--overlap False" truthy).
+    p.add_argument("--isInC", type=_parse_bool, default=False)
+    p.add_argument("--isItC", type=_parse_bool, default=False)
+    p.add_argument("--ts1", type=float, default=0.5)
+    p.add_argument("--ts2", type=float, default=0.5)
+    p.add_argument("--overlap", type=_parse_bool, default=False)
+    p.add_argument("--isDR", type=_parse_bool, default=False)
+    p.add_argument("--dr_e_w", type=float, default=0.1)
+    p.add_argument("--data_root", type=str, default="/root/reference")
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--kernels", type=str, default="auto")
+
+
+def _parse_bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    return v.strip().lower() in ("1", "true", "yes", "y", "t")
+
+
+def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainConfig:
+    """Build a TrainConfig from reference-style CLI flags."""
+    p = argparse.ArgumentParser(description="amid_tpu trainer")
+    _add_reference_flags(p)
+    a = p.parse_args(argv)
+    model = ModelConfig(
+        backbone=a.model.lower(),
+        emb_dim=a.emb_dim,
+        hid_dim=a.hid_dim,
+        seq_len=a.seq_len,
+        batch_size=a.bs,
+        is_inc=a.isInC,
+        is_itc=a.isItC,
+        ts1=a.ts1,
+        ts2=a.ts2,
+        is_dr=a.isDR or is_dr,
+        kernels=a.kernels,
+    )
+    data = DataConfig(
+        dataset_type=a.dataset_type,
+        domain_type=a.domain_type,
+        data_root=a.data_root,
+        overlap_ratio=a.overlap_ratio,
+        seq_len=a.seq_len,
+        neg_nums=a.neg_nums,
+        long_length=a.long_length,
+    )
+    return TrainConfig(
+        epochs=a.epoch,
+        lr=a.lr,
+        lr2=a.lr2,
+        dr_e_w=a.dr_e_w,
+        seeds=a.seeds,
+        overlap_eval=a.overlap,
+        model_dir=a.model_dir,
+        model=model,
+        data=data,
+    )

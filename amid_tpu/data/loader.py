@@ -1,0 +1,47 @@
+"""Global-batch iterator over a packed dataset.
+
+Replaces torch DataLoader(batch_size=256, shuffle, num_workers=8,
+drop_last=True, collate_fn=collate_fn_enhance) (train_sr.py:452-455) with a
+zero-copy slicing iterator over the packed arrays. Shuffling uses a seeded
+numpy Generator (one permutation per epoch). Negative sampling happens inside
+the jit'ed step (amid_tpu.data.sampler), not here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from amid_tpu.data.packed import PackedDualDomainDataset
+
+
+class BatchIterator:
+    def __init__(
+        self,
+        dataset: PackedDualDomainDataset,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        drop_last: bool = True,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._arrays = dataset.batch_arrays()
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            yield {k: v[idx] for k, v in self._arrays.items()}

@@ -1,0 +1,141 @@
+"""AMID model assembly: shared item embedding -> per-domain encoders ->
+InnerComp/InterComp message passing -> mean-pool -> prediction heads.
+
+Backbone control flow mirrors the reference exactly:
+* GRU4Rec  (model_seq.py:83-113): InC before the GRUs, ItC after.
+* SASRec   (model_seq.py:416-443): InC before Log2feats, ItC after.
+* BERT4Rec (model_seq.py:277-309): InC before, ItC *before* the transformer
+  stack, with the key mask rebuilt for the doubled length.
+
+Forward returns 2 logits tensors, or 6 when is_dr (main + IPS propensity +
+imputation heads, model_seq.py:436-440).
+
+The item table is a single shared embedding for both domains (ids are
+pre-offset at data-prep time, model_seq.py:22-29). Lookup goes through
+amid_tpu.parallel.embedding.embedding_lookup so the same model code serves the
+replicated (single-chip) and row-sharded (model-parallel) paths.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from amid_tpu.config import ModelConfig
+from amid_tpu.models.comp import InnerComp, InterComp
+from amid_tpu.models.encoders import (
+    Bert4RecEncoder,
+    GruEncoder,
+    SasrecEncoder,
+)
+from amid_tpu.models.heads import PredictHead
+from amid_tpu.ops.torch_compat import torch_embedding_init
+
+Batch = dict[str, Any]
+
+
+class AMIDModel(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = True) -> dict[str, jax.Array]:
+        cfg = self.cfg
+        det = not train
+
+        item_emb = self.param(
+            "item_embedding",
+            torch_embedding_init,
+            (cfg.item_table_size, cfg.emb_dim),
+        )
+
+        def lookup(ids):
+            from amid_tpu.parallel.embedding import embedding_lookup
+
+            return embedding_lookup(item_emb, ids)
+
+        i_feat = lookup(batch["target"])[:, None, :]  # [B, 1, D]
+        neg_feat = lookup(batch["neg_samples"])  # [B, K, D]
+        seq_d1 = lookup(batch["seq_d1"])  # [B, L, D]
+        seq_d2 = lookup(batch["seq_d2"])
+
+        if cfg.is_inc:
+            seq_d1 = InnerComp(cfg.batch_size, cfg.ts1, cfg.kernels, name="inc_d1")(
+                seq_d1
+            )
+            seq_d2 = InnerComp(cfg.batch_size, cfg.ts1, cfg.kernels, name="inc_d2")(
+                seq_d2
+            )
+
+        if cfg.backbone == "gru4rec":
+            seq_d1 = GruEncoder(cfg.emb_dim, name="enc_d1")(seq_d1)
+            seq_d2 = GruEncoder(cfg.emb_dim, name="enc_d2")(seq_d2)
+            seq_d1, seq_d2 = self._apply_itc(seq_d1, seq_d2)
+        elif cfg.backbone == "sasrec":
+            enc_len = cfg.enc_seq_len
+            seq_d1 = SasrecEncoder(
+                enc_len, cfg.sasrec_blocks, cfg.sasrec_heads, cfg.sasrec_dropout,
+                name="enc_d1",
+            )(seq_d1, det)
+            seq_d2 = SasrecEncoder(
+                enc_len, cfg.sasrec_blocks, cfg.sasrec_heads, cfg.sasrec_dropout,
+                name="enc_d2",
+            )(seq_d2, det)
+            seq_d1, seq_d2 = self._apply_itc(seq_d1, seq_d2)
+        elif cfg.backbone == "bert4rec":
+            # Key-padding mask from raw ids. Reference uses seq_d2's ids for
+            # BOTH towers (model_seq.py:286-294) — kept behind the quirk flag.
+            mask_src_d1 = batch["seq_d2"] if cfg.bert_d2_mask_quirk else batch["seq_d1"]
+            mask_src_d2 = batch["seq_d2"]
+            reps = seq_d1.shape[1] // batch["seq_d2"].shape[1]  # 2 if InC else 1
+            key_mask_d1 = jnp.tile(mask_src_d1 > 0, (1, reps))
+            key_mask_d2 = jnp.tile(mask_src_d2 > 0, (1, reps))
+            seq_d1, seq_d2 = self._apply_itc(seq_d1, seq_d2)
+            if cfg.is_itc:  # ItC doubled the length (model_seq.py:294)
+                key_mask_d1 = jnp.tile(mask_src_d1 > 0, (1, 2 * reps))
+                key_mask_d2 = jnp.tile(mask_src_d2 > 0, (1, 2 * reps))
+            seq_d1 = Bert4RecEncoder(
+                cfg.bert_blocks, cfg.bert_heads, cfg.bert_ff_dim, cfg.bert_dropout,
+                name="enc_d1",
+            )(seq_d1, key_mask_d1, det)
+            seq_d2 = Bert4RecEncoder(
+                cfg.bert_blocks, cfg.bert_heads, cfg.bert_ff_dim, cfg.bert_dropout,
+                name="enc_d2",
+            )(seq_d2, key_mask_d2, det)
+        else:
+            raise ValueError(f"unknown backbone {cfg.backbone!r}")
+
+        u_d1 = jnp.mean(seq_d1, axis=1)  # plain mean incl. pad positions
+        u_d2 = jnp.mean(seq_d2, axis=1)  # (model_seq.py:432-434)
+        cand = jnp.concatenate([i_feat, neg_feat], axis=1)  # [B, 1+K, D]
+
+        out = {}
+        out["logits_d1"], out["logits_d2"] = PredictHead(
+            cfg.hid_dim, name="predict"
+        )(u_d1, u_d2, cand)
+        if cfg.is_dr:
+            out["ips_d1"], out["ips_d2"] = PredictHead(
+                cfg.hid_dim, name="predict_ips"
+            )(u_d1, u_d2, cand)
+            out["gfunc_d1"], out["gfunc_d2"] = PredictHead(
+                cfg.hid_dim, name="predict_gfunc"
+            )(u_d1, u_d2, cand)
+        return out
+
+    def _apply_itc(self, seq_d1, seq_d2):
+        cfg = self.cfg
+        if not cfg.is_itc:
+            return seq_d1, seq_d2
+        d1 = InterComp(cfg.batch_size, cfg.ts2, cfg.kernels, name="itc_d1")(
+            seq_d1, seq_d2
+        )
+        d2 = InterComp(cfg.batch_size, cfg.ts2, cfg.kernels, name="itc_d2")(
+            seq_d2, seq_d1
+        )
+        return d1, d2
+
+
+def build_model(cfg: ModelConfig) -> AMIDModel:
+    return AMIDModel(cfg)

@@ -1,0 +1,67 @@
+"""Prediction heads.
+
+predictModule (model_seq.py:32-54): sigmoid(MLP([user ; item])) with one
+shared MLP scored twice — once with the domain-1 user repr, once with the
+domain-2 repr — against the same [target ; negatives] candidate bank.
+
+TPU-native detail: the concat [B, C, 2D] is never materialized. The first
+layer's kernel [2D, H] is split into user/item halves, so the head is
+
+    h = relu(u @ K_u + i @ K_i + b1)        # [B, C, H], u part broadcast
+    logits = sigmoid(h @ k2 + b2)           # [B, C]
+
+which is algebraically identical (cat(u, i) @ K == u @ K_u + i @ K_i) and
+keeps the candidate loop as two MXU matmuls. Init matches torch Linear with
+fan_in = 2D.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class PredictHead(nn.Module):
+    hid_dim: int
+
+    @nn.compact
+    def __call__(
+        self, user_d1: jax.Array, user_d2: jax.Array, item_feat: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """user_d*: [B, D]; item_feat: [B, C, D] -> (logits_d1, logits_d2),
+        each [B, C]."""
+        d = user_d1.shape[-1]
+        h = self.hid_dim
+        bound1 = 1.0 / math.sqrt(2 * d)  # torch Linear(2D, H)
+        bound2 = 1.0 / math.sqrt(h)
+
+        def uinit(bound):
+            def init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            return init
+
+        k1 = self.param("fc1_kernel", uinit(bound1), (2 * d, h))
+        b1 = self.param("fc1_bias", uinit(bound1), (h,))
+        k2 = self.param("fc2_kernel", uinit(bound2), (h, 1))
+        b2 = self.param("fc2_bias", uinit(bound2), (1,))
+
+        k_user, k_item = k1[:d], k1[d:]
+        i_part = jnp.einsum(
+            "bcd,dh->bch", item_feat, k_item, preferred_element_type=jnp.float32
+        )
+
+        def score(u):
+            u_part = u @ k_user  # [B, H]
+            hidden = nn.relu(u_part[:, None, :] + i_part + b1)
+            return jax.nn.sigmoid(
+                jnp.einsum(
+                    "bch,ho->bco", hidden, k2, preferred_element_type=jnp.float32
+                )[..., 0]
+                + b2[0]
+            )
+
+        return score(user_d1), score(user_d2)

@@ -1,0 +1,64 @@
+"""Batch-affinity contraction for InnerComp / InterComp.
+
+The reference materializes a [b, b, n, n] all-pairs score tensor
+(model_seq.py:462-465, 489-490) — O(b^2 n^2) memory — to compute
+
+    A[b, c] = max_{i, j}  seq_b[i] . seq_c[j]
+
+Here the contraction is computed blocked: chunks of query rows are matmul'ed
+against the flattened peer bank and max-reduced immediately, so peak memory is
+O(chunk * B * n * m) and the matmuls are MXU-shaped. A Pallas kernel
+(amid_tpu.ops.pallas_affinity) implements the same contraction fully fused;
+this module is the XLA reference path and the dispatch point.
+
+The peer *message* itself never needs the 4-D tensor at all: with
+P_c = seq_c @ Wn^T, the reference's masked trans_nn + trans_bs pipeline
+(model_seq.py:468-470) reduces algebraically to
+
+    msg[b] = sum_c (w_bs[c] * M[b, c]) * P_c  +  (sum_c w_bs[c]) * b_nn + b_bs
+
+i.e. a [B, B] x [B, n*d] matmul — see amid_tpu.models.comp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def max_affinity_xla(
+    seq_a: jax.Array, seq_b: jax.Array, chunk: int = 8
+) -> jax.Array:
+    """A[b, c] = max_{i,j} seq_a[b, i] . seq_b[c, j].
+
+    seq_a: [B, N, D], seq_b: [C, M, D] -> [B, C] float32.
+    Blocked over the B axis to bound peak memory at chunk*C*N*M floats.
+    """
+    bsz, n, d = seq_a.shape
+    c, m, _ = seq_b.shape
+    if bsz % chunk != 0:
+        chunk = 1
+    y = seq_b.reshape(c * m, d)
+
+    def one_chunk(a_chunk):  # [chunk, N, D]
+        s = jnp.einsum(
+            "bnd,kd->bnk", a_chunk, y, preferred_element_type=jnp.float32
+        )  # [chunk, N, C*M]
+        s = s.reshape(chunk, n, c, m)
+        return jnp.max(s, axis=(1, 3))  # [chunk, C]
+
+    a_blocks = seq_a.reshape(bsz // chunk, chunk, n, d)
+    out = jax.lax.map(one_chunk, a_blocks)  # [B/chunk, chunk, C]
+    return out.reshape(bsz, c)
+
+
+@functools.partial(jax.jit, static_argnames=("kernels",))
+def max_affinity(seq_a: jax.Array, seq_b: jax.Array, kernels: str = "xla") -> jax.Array:
+    """Dispatch: 'pallas' uses the fused TPU kernel, anything else XLA."""
+    if kernels == "pallas":
+        from amid_tpu.ops.pallas_affinity import max_affinity_pallas
+
+        return max_affinity_pallas(seq_a, seq_b)
+    return max_affinity_xla(seq_a, seq_b)

@@ -1,0 +1,246 @@
+"""Training drivers: the train_sr / train_sr_dr equivalents.
+
+Protocol reproduced from the reference:
+* per-epoch: full pass over the train loader, then eval (train_sr.py:187-223);
+  DR adds a second pass over the DR loader stepping optimizer2, then a second
+  eval (train_sr_dr.py:362-403).
+* best-metric tracking takes the per-metric max over epochs
+  (train_sr.py:224-270).
+* 5-seed protocol with mean/std aggregation (train_sr.py:439-443,549-569).
+
+New over the reference: real checkpointing (orbax), examples/s accounting,
+no host sync inside the step loop.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from amid_tpu.config import TrainConfig
+from amid_tpu.data.loader import BatchIterator
+from amid_tpu.data.packed import PackedDualDomainDataset, load_dual_domain_csv
+from amid_tpu.models.amid import build_model
+from amid_tpu.train.metrics import RankAccumulator
+from amid_tpu.train.steps import (
+    TrainState,
+    init_state,
+    make_dr_r_step,
+    make_eval_step,
+    make_train_step,
+)
+from amid_tpu.utils.logging import AverageMeter, init_logger
+
+
+def _device_pools(ds: PackedDualDomainDataset):
+    import jax.numpy as jnp
+
+    return jnp.asarray(ds.pools), jnp.asarray(ds.pool_sizes)
+
+
+def _sample_batch(ds: PackedDualDomainDataset, bs: int, num_neg: int = 1):
+    """A shape-defining batch for model.init."""
+    import jax.numpy as jnp
+
+    arrays = {k: jnp.asarray(v[:bs]) for k, v in ds.batch_arrays().items()}
+    arrays["neg_samples"] = jnp.zeros((bs, num_neg), jnp.int32)
+    return {
+        "target": arrays["target"],
+        "neg_samples": arrays["neg_samples"],
+        "seq_d1": arrays["seq_d1"],
+        "seq_d2": arrays["seq_d2"],
+    }
+
+
+def evaluate(
+    eval_step,
+    params,
+    val_iter: BatchIterator,
+    pools,
+    pool_sizes,
+    key,
+    overlap_eval: bool,
+) -> dict[str, float]:
+    acc = RankAccumulator(overlap_eval)
+    meter = AverageMeter("loss_cls")
+    for i, batch in enumerate(val_iter):
+        out = eval_step(params, batch, pools, pool_sizes, jax.random.fold_in(key, i))
+        acc.add(
+            out["ranks_fixed"], out["ranks_raw"], batch["domain_id"], batch["overlap"]
+        )
+        meter.update(loss_cls=float(out["loss_cls"]))
+    metrics = acc.finalize()
+    metrics["val_loss"] = meter.mean("loss_cls")
+    return metrics
+
+
+def _track_best(best: dict[str, float], cur: dict[str, float]) -> None:
+    for k, v in cur.items():
+        if k.startswith(("hit_", "ndcg_", "mrr")):
+            best[k] = max(best.get(k, 0.0), v)
+
+
+def run_seed(
+    cfg: TrainConfig,
+    seed: int,
+    train_ds: PackedDualDomainDataset,
+    val_ds: PackedDualDomainDataset,
+    dr_ds: Optional[PackedDualDomainDataset] = None,
+    log=None,
+) -> dict[str, float]:
+    """Train one seed; returns the best-metric dict (reference train()
+    return contract, train_sr.py:352-355)."""
+    log = log or init_logger(cfg.model_dir, f"log{seed}.txt")
+    model = build_model(cfg.model)
+    tx = optax.adam(cfg.lr)
+    is_dr = cfg.model.is_dr
+    tx2 = optax.adam(cfg.lr * cfg.lr2) if is_dr else None
+
+    state = init_state(
+        model, cfg, tx, tx2, seed=seed,
+        sample_batch=_sample_batch(train_ds, cfg.model.batch_size),
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    log.info(f"seed {seed}: params={n_params:,}")
+
+    train_step = make_train_step(model, tx, dr_e_w=cfg.dr_e_w if is_dr else None)
+    dr_step = make_dr_r_step(model, tx2) if is_dr else None
+    eval_step = make_eval_step(model, cfg.data.neg_nums)
+
+    pools, pool_sizes = _device_pools(train_ds)
+    # eval negatives come from the *val* split's pools (dataset_seq.py:141-142
+    # — each Dataset builds pools from its own csv)
+    vpools, vpool_sizes = _device_pools(val_ds)
+    dpools, dpool_sizes = _device_pools(dr_ds) if dr_ds is not None else (None, None)
+
+    train_iter = BatchIterator(
+        train_ds, cfg.model.batch_size, shuffle=True, seed=seed, drop_last=True
+    )
+    val_iter = BatchIterator(
+        val_ds, cfg.model.batch_size, shuffle=False, seed=seed,
+        drop_last=cfg.eval_batch_drop_last,
+    )
+    dr_iter = (
+        BatchIterator(dr_ds, cfg.model.batch_size, shuffle=True, seed=seed + 1000)
+        if dr_ds is not None
+        else None
+    )
+
+    ckpt = None
+    if cfg.checkpoint:
+        from amid_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(
+            f"{cfg.model_dir}/checkpoint/seed{seed}", keep=cfg.checkpoint_keep
+        )
+
+    root_key = jax.random.PRNGKey(seed)
+    best: dict[str, float] = {}
+    best_score = -1.0
+    examples = 0
+    t0 = time.perf_counter()
+
+    for epoch in range(cfg.epochs):
+        meter = AverageMeter()
+        ekey = jax.random.fold_in(root_key, epoch)
+        for i, batch in enumerate(train_iter):
+            state, m = train_step(
+                state, batch, pools, pool_sizes, jax.random.fold_in(ekey, i)
+            )
+            examples += cfg.model.batch_size
+            if i % cfg.log_every == 0:
+                meter.update(**{k: float(v) for k, v in m.items()})
+                log.info(
+                    "train "
+                    + ", ".join(f"{k}:{meter.mean(k):.5f}" for k in sorted(m))
+                )
+        ev = evaluate(
+            eval_step, state.params, val_iter, vpools, vpool_sizes,
+            jax.random.fold_in(ekey, 10_000), cfg.overlap_eval,
+        )
+        _track_best(best, ev)
+        log.info(
+            f"epoch {epoch}/{cfg.epochs} val_loss={ev['val_loss']:.4f} "
+            f"HR@10 d1={ev['hit_10_d1']:.4f} d2={ev['hit_10_d2']:.4f} "
+            f"NDCG@10 d1={ev['ndcg_10_d1']:.4f} d2={ev['ndcg_10_d2']:.4f} "
+            f"MRR d1={ev['mrr_d1']:.4f} d2={ev['mrr_d2']:.4f}"
+        )
+
+        if is_dr and dr_iter is not None:
+            for i, batch in enumerate(dr_iter):
+                state, m = dr_step(
+                    state, batch, dpools, dpool_sizes,
+                    jax.random.fold_in(ekey, 20_000 + i),
+                )
+                if i % cfg.log_every == 0:
+                    meter.update(loss_dr_r=float(m["loss_dr_r"]))
+                    log.info(f"train loss_dr_r:{meter.mean('loss_dr_r'):.5f}")
+            ev = evaluate(
+                eval_step, state.params, val_iter, vpools, vpool_sizes,
+                jax.random.fold_in(ekey, 30_000), cfg.overlap_eval,
+            )
+            _track_best(best, ev)
+            log.info(
+                f"epoch {epoch} (post-DR) HR@10 d1={ev['hit_10_d1']:.4f} "
+                f"d2={ev['hit_10_d2']:.4f} MRR d1={ev['mrr_d1']:.4f} "
+                f"d2={ev['mrr_d2']:.4f}"
+            )
+
+        score = ev["mrr_d1"] + ev["mrr_d2"]
+        if ckpt is not None and score > best_score:
+            best_score = score
+            ckpt.save(epoch, state)
+
+    dt = time.perf_counter() - t0
+    best["examples_per_s"] = examples / dt if dt > 0 else 0.0
+    if ckpt is not None:
+        ckpt.close()
+    return best
+
+
+def aggregate_seeds(per_seed: list[dict[str, float]], log) -> dict[str, dict]:
+    """5-seed mean/std block (train_sr.py:549-569)."""
+    keys = sorted({k for d in per_seed for k in d})
+    agg = {}
+    for k in keys:
+        vals = [d[k] for d in per_seed if k in d]
+        agg[k] = {"mean": float(np.mean(vals)), "std": float(np.std(vals))}
+        log.info(f"{k}: {agg[k]['mean']:.4f}/{agg[k]['std']:.4f}")
+    return agg
+
+
+def run(cfg: TrainConfig) -> dict[str, dict]:
+    """Full multi-seed run (reference __main__, train_sr.py:357-626)."""
+    log = init_logger(cfg.model_dir, "log_all.txt")
+    log.info(cfg.to_json())
+    is_dr = cfg.model.is_dr
+
+    train_ds = load_dual_domain_csv(
+        cfg.data.train_csv(), cfg.model.seq_len, cfg.model.pad_id,
+        cfg.data.long_length,
+    )
+    val_ds = load_dual_domain_csv(
+        cfg.data.test_csv(), cfg.model.seq_len, cfg.model.pad_id,
+        cfg.data.long_length,
+    )
+    dr_ds = (
+        load_dual_domain_csv(
+            cfg.data.train_dr_csv(), cfg.model.seq_len, cfg.model.pad_id,
+            cfg.data.long_length, with_ob_label=True,
+        )
+        if is_dr
+        else None
+    )
+
+    per_seed = []
+    for seed in range(cfg.seeds):
+        slog = init_logger(cfg.model_dir, f"log{seed}.txt")
+        best = run_seed(cfg, seed, train_ds, val_ds, dr_ds, log=slog)
+        per_seed.append(best)
+
+    log = init_logger(cfg.model_dir, "log_all.txt")
+    return aggregate_seeds(per_seed, log)

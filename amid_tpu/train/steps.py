@@ -1,0 +1,167 @@
+"""jit-compiled train/eval step builders.
+
+Each reference hot loop (train_sr.py:190-219, train_sr_dr.py:191-229,363-403,
+test() train_sr.py:31-128) becomes one fused XLA program: device-side
+negative sampling -> forward -> loss -> backward -> Adam update, with no
+host round-trips inside the loop (the reference syncs on `loss.item()` every
+step and ships full score matrices to numpy in eval).
+
+Steps are built against an abstract model apply-fn so the same builders serve
+single-chip jit and mesh-sharded pjit (amid_tpu.parallel.mesh supplies the
+shardings).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from amid_tpu.data.sampler import sample_negatives
+from amid_tpu.train import losses
+from amid_tpu.train.metrics import positive_ranks
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    opt_state2: Optional[Any] = None  # DR phase-B optimizer moments
+
+
+def init_state(model, cfg, tx, tx2=None, seed: int = 0, sample_batch=None):
+    """Initialize params + optimizer state(s). sample_batch: a small batch
+    dict used for shape inference."""
+    key = jax.random.PRNGKey(seed)
+    params = model.init(
+        {"params": key, "dropout": key}, sample_batch, train=False
+    )["params"]
+    opt_state = tx.init(params)
+    opt_state2 = tx2.init(params) if tx2 is not None else None
+    return TrainState(params, opt_state, opt_state2)
+
+
+def _make_labels(bsz: int, num_neg: int) -> jax.Array:
+    return jnp.concatenate(
+        [jnp.ones((bsz, 1), jnp.float32), jnp.zeros((bsz, num_neg), jnp.float32)],
+        axis=1,
+    )
+
+
+def _model_batch(batch: dict, neg: jax.Array) -> dict:
+    return {
+        "target": batch["target"],
+        "neg_samples": neg,
+        "seq_d1": batch["seq_d1"],
+        "seq_d2": batch["seq_d2"],
+    }
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    dr_e_w: Optional[float] = None,
+) -> Callable:
+    """Phase-A step: masked BCE (+ dr_e_w * loss_dr_e when DR).
+
+    Returns step(state, batch, pools, pool_sizes, key) -> (state, metrics).
+    """
+    is_dr = dr_e_w is not None
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, pools, pool_sizes, key):
+        k_neg, k_drop = jax.random.split(key)
+        neg = sample_negatives(
+            k_neg, pools, pool_sizes, batch["domain_id"], batch["reject"], 1,
+            batch.get("reject_counts"),
+        )
+        labels = _make_labels(batch["target"].shape[0], 1)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                _model_batch(batch, neg),
+                train=True,
+                rngs={"dropout": k_drop},
+            )
+            loss_cls = losses.masked_bce_loss(
+                out["logits_d1"], out["logits_d2"], labels, batch["domain_id"]
+            )
+            metrics = {"loss_cls": loss_cls}
+            loss = loss_cls
+            if is_dr:
+                dr_e = losses.dr_e_loss(out, labels, batch["domain_id"])
+                loss = loss_cls + dr_e * dr_e_w
+                metrics["loss_dr_e"] = dr_e
+            metrics["loss"] = loss
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.opt_state2), metrics
+
+    return step
+
+
+def make_dr_r_step(model, tx2: optax.GradientTransformation) -> Callable:
+    """Phase-B step (train_sr_dr.py:363-403): trains imputation/propensity
+    heads on observed+unobserved rows with optimizer2."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, pools, pool_sizes, key):
+        k_neg, k_drop = jax.random.split(key)
+        neg = sample_negatives(
+            k_neg, pools, pool_sizes, batch["domain_id"], batch["reject"], 1,
+            batch.get("reject_counts"),
+        )
+        labels = _make_labels(batch["target"].shape[0], 1)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                _model_batch(batch, neg),
+                train=True,
+                rngs={"dropout": k_drop},
+            )
+            loss = losses.dr_r_loss(
+                out, labels, batch["domain_id"], batch["ob_label"]
+            )
+            return loss, {"loss_dr_r": loss}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state2 = tx2.update(grads, state.opt_state2, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, state.opt_state, opt_state2), metrics
+
+    return step
+
+
+def make_eval_step(model, num_neg: int) -> Callable:
+    """Eval pass (test(), train_sr.py:31-128): forward with num_neg sampled
+    negatives, masked BCE val loss, on-device positive ranks (fixed & raw
+    tie-break variants)."""
+
+    @jax.jit
+    def step(params, batch, pools, pool_sizes, key):
+        neg = sample_negatives(
+            key, pools, pool_sizes, batch["domain_id"], batch["reject"], num_neg,
+            batch.get("reject_counts"),
+        )
+        labels = _make_labels(batch["target"].shape[0], num_neg)
+        out = model.apply({"params": params}, _model_batch(batch, neg), train=False)
+        loss_cls = losses.masked_bce_loss(
+            out["logits_d1"], out["logits_d2"], labels, batch["domain_id"]
+        )
+        # choose_predict (utils.py:21-32): the active domain's scores
+        dom = batch["domain_id"][:, None]
+        pred = jnp.where(dom == 0, out["logits_d1"], out["logits_d2"])
+        return {
+            "loss_cls": loss_cls,
+            "ranks_fixed": positive_ranks(pred, fix=True),
+            "ranks_raw": positive_ranks(pred, fix=False),
+        }
+
+    return step
