@@ -161,6 +161,8 @@ class TrainConfig:
     log_every: int = 20  # log train loss every N steps (train_sr.py:218)
     checkpoint: bool = True  # real checkpointing (absent in reference, SURVEY §5)
     checkpoint_keep: int = 1
+    profile_steps: int = 0  # >0: capture a jax.profiler trace of the first N
+    #                         steps of epoch 0 into model_dir/profile
     eval_batch_drop_last: bool = True  # reference val loader drop_last=True (train_sr.py:455)
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -202,6 +204,7 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_root", type=str, default="/root/reference")
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--kernels", type=str, default="auto")
+    p.add_argument("--profile_steps", type=int, default=0)
 
 
 def _parse_bool(v: str) -> bool:
@@ -245,6 +248,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         seeds=a.seeds,
         overlap_eval=a.overlap,
         model_dir=a.model_dir,
+        profile_steps=a.profile_steps,
         model=model,
         data=data,
     )

@@ -173,24 +173,15 @@ def pack_rows(
     )
 
 
-def load_dual_domain_csv(
-    csv_path: str,
-    seq_len: int,
-    pad_id: int,
-    long_length: int = 7,
-    with_ob_label: bool = False,
-) -> PackedDualDomainDataset:
-    """Parse an AMID-style dual-domain CSV (columns: user_id, seq_d1, seq_d2,
-    domain_id[, ob_label]) into a packed dataset. Uses the C++ fast parser
-    when available, falling back to a pure-Python reader."""
+def read_dual_domain_csv(csv_path: str, with_ob_label: bool = False):
+    """Parse an AMID-style dual-domain CSV into python lists. Uses the C++
+    fast parser when available, falling back to a pure-Python reader."""
     try:
         from amid_tpu.data.native import parse_csv_native
 
         parsed = parse_csv_native(csv_path, with_ob_label)
         if parsed is not None:
-            users, s1, s2, dom, ob = parsed
-            return pack_rows(users, s1, s2, dom, ob if with_ob_label else None,
-                             seq_len, pad_id, long_length)
+            return parsed
     except ImportError:
         pass
 
@@ -210,6 +201,33 @@ def load_dual_domain_csv(
             dom.append(int(row["domain_id"]))
             if with_ob_label:
                 ob.append(int(row["ob_label"]))
+    return users, s1, s2, dom, ob
+
+
+def load_dual_domain_csv(
+    csv_path: str,
+    seq_len: int,
+    pad_id: int,
+    long_length: int = 7,
+    with_ob_label: bool = False,
+    subdomain: int | None = None,
+) -> PackedDualDomainDataset:
+    """CSV (columns: user_id, seq_d1, seq_d2, domain_id[, ob_label]) -> packed
+    dataset.
+
+    subdomain: when set, keep only rows of that domain — the
+    SingleDomainSeqDataset semantics (dataset_seq.py:24-28: rows filtered by
+    `domain_id == subdomain`; targets/negatives then come only from that
+    domain's sequences and pool)."""
+    users, s1, s2, dom, ob = read_dual_domain_csv(csv_path, with_ob_label)
+    if subdomain is not None:
+        keep = [i for i, d in enumerate(dom) if d == subdomain]
+        users = [users[i] for i in keep]
+        s1 = [s1[i] for i in keep]
+        s2 = [s2[i] for i in keep]
+        dom = [dom[i] for i in keep]
+        if with_ob_label:
+            ob = [ob[i] for i in keep]
     return pack_rows(
         users, s1, s2, dom, ob if with_ob_label else None, seq_len, pad_id, long_length
     )

@@ -57,3 +57,11 @@ def sample_negatives(
 
     idx = jax.lax.fori_loop(0, reject.shape[1], skip_hole, j)
     return pools[domain_id[:, None], idx]
+
+
+def interleave_corr_seq(real_seq: jax.Array, fake_seq: jax.Array) -> jax.Array:
+    """C2DSR corrupted-sequence interleave (dataset_seq.py:276-281):
+    [r0, f0, r1, f1, ...] -> [B, 2L]. Used with `sample_negatives(...,
+    num_neg=L)` as the fake sequence for the C2DSR contrastive objective."""
+    b, l = real_seq.shape
+    return jnp.stack([real_seq, fake_seq], axis=-1).reshape(b, 2 * l)

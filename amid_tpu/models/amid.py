@@ -77,11 +77,11 @@ class AMIDModel(nn.Module):
             enc_len = cfg.enc_seq_len
             seq_d1 = SasrecEncoder(
                 enc_len, cfg.sasrec_blocks, cfg.sasrec_heads, cfg.sasrec_dropout,
-                name="enc_d1",
+                cfg.kernels, name="enc_d1",
             )(seq_d1, det)
             seq_d2 = SasrecEncoder(
                 enc_len, cfg.sasrec_blocks, cfg.sasrec_heads, cfg.sasrec_dropout,
-                name="enc_d2",
+                cfg.kernels, name="enc_d2",
             )(seq_d2, det)
             seq_d1, seq_d2 = self._apply_itc(seq_d1, seq_d2)
         elif cfg.backbone == "bert4rec":
@@ -98,11 +98,11 @@ class AMIDModel(nn.Module):
                 key_mask_d2 = jnp.tile(mask_src_d2 > 0, (1, 2 * reps))
             seq_d1 = Bert4RecEncoder(
                 cfg.bert_blocks, cfg.bert_heads, cfg.bert_ff_dim, cfg.bert_dropout,
-                name="enc_d1",
+                cfg.kernels, name="enc_d1",
             )(seq_d1, key_mask_d1, det)
             seq_d2 = Bert4RecEncoder(
                 cfg.bert_blocks, cfg.bert_heads, cfg.bert_ff_dim, cfg.bert_dropout,
-                name="enc_d2",
+                cfg.kernels, name="enc_d2",
             )(seq_d2, key_mask_d2, det)
         else:
             raise ValueError(f"unknown backbone {cfg.backbone!r}")
@@ -113,14 +113,14 @@ class AMIDModel(nn.Module):
 
         out = {}
         out["logits_d1"], out["logits_d2"] = PredictHead(
-            cfg.hid_dim, name="predict"
+            cfg.hid_dim, cfg.kernels, name="predict"
         )(u_d1, u_d2, cand)
         if cfg.is_dr:
             out["ips_d1"], out["ips_d2"] = PredictHead(
-                cfg.hid_dim, name="predict_ips"
+                cfg.hid_dim, cfg.kernels, name="predict_ips"
             )(u_d1, u_d2, cand)
             out["gfunc_d1"], out["gfunc_d2"] = PredictHead(
-                cfg.hid_dim, name="predict_gfunc"
+                cfg.hid_dim, cfg.kernels, name="predict_gfunc"
             )(u_d1, u_d2, cand)
         return out
 
@@ -138,4 +138,14 @@ class AMIDModel(nn.Module):
 
 
 def build_model(cfg: ModelConfig) -> AMIDModel:
+    """Resolve kernels='auto' against the runtime backend (pallas kernels on
+    TPU, XLA elsewhere — each dispatch site further applies its measured
+    shape thresholds) and construct the model."""
+    if cfg.kernels == "auto":
+        import dataclasses
+
+        import jax
+
+        resolved = "pallas" if jax.default_backend() == "tpu" else "xla"
+        cfg = dataclasses.replace(cfg, kernels=resolved)
     return AMIDModel(cfg)

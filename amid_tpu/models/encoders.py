@@ -40,14 +40,36 @@ from amid_tpu.ops.torch_compat import (
 NEG_INF = -1e9  # reference mask fill value (model_seq.py:155)
 
 
+# Fused pallas attention wins for T >= ~64 (measured v5e, tools/
+# bench_kernels.py: T=160 fwd+bwd 2.26ms vs 3.86ms XLA; T=20 a wash) —
+# below that XLA's fusion is already fine and kernel overhead dominates.
+PALLAS_ATTN_MIN_T = 64
+
+
+def _use_pallas_attention(kernels: str, t: int) -> bool:
+    return kernels == "pallas" and t >= PALLAS_ATTN_MIN_T
+
+
+def _dropout_seed(module: nn.Module, deterministic: bool, rate: float):
+    """Derive a [1] int32 seed for in-kernel dropout from the flax rng."""
+    if deterministic or rate == 0.0:
+        return jnp.zeros((1,), jnp.int32), 0.0
+    key = module.make_rng("dropout")
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    return seed, rate
+
+
 class TorchMultiheadAttention(nn.Module):
     """torch nn.MultiheadAttention equivalent (used by Log2feats,
     model_seq.py:348-351): fused in-proj with xavier-uniform init and zero
     bias, out-proj with Linear init and zero bias, dropout on attention
-    probabilities."""
+    probabilities. kernels='pallas' routes the attention core through the
+    fused VMEM-resident kernel (amid_tpu.ops.pallas_attention)."""
 
     num_heads: int
     dropout: float
+    kernels: str = "xla"
 
     @nn.compact
     def __call__(
@@ -67,22 +89,32 @@ class TorchMultiheadAttention(nn.Module):
         kp = k @ w_in[:, d : 2 * d] + b_in[d : 2 * d]
         vp = v @ w_in[:, 2 * d :] + b_in[2 * d :]
 
-        def split(x):  # [B, T, D] -> [B, h, T, dh]
-            b, t, _ = x.shape
-            return x.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        if _use_pallas_attention(self.kernels, q.shape[1]):
+            from amid_tpu.ops.pallas_attention import fused_attention
 
-        qp, kp, vp = split(qp), split(kp), split(vp)
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", qp, kp, preferred_element_type=jnp.float32
-        ) / math.sqrt(dh)
-        if attn_bias is not None:
-            scores = scores + attn_bias
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, vp, preferred_element_type=jnp.float32
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(q.shape)
+            seed, rate = _dropout_seed(self, deterministic, self.dropout)
+            bias = attn_bias if attn_bias is not None else jnp.zeros(
+                (1, 1, 1, q.shape[1]), jnp.float32
+            )
+            out = fused_attention(qp, kp, vp, bias, seed, h, rate)
+        else:
+
+            def split(x):  # [B, T, D] -> [B, h, T, dh]
+                b, t, _ = x.shape
+                return x.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+
+            qh, kh, vh = split(qp), split(kp), split(vp)
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            ) / math.sqrt(dh)
+            if attn_bias is not None:
+                scores = scores + attn_bias
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(q.shape)
         w_out = self.param(
             "out_proj_kernel",
             lambda key, shape: jax.random.uniform(
@@ -118,6 +150,7 @@ class SasrecEncoder(nn.Module):
     num_blocks: int = 2
     num_heads: int = 8
     dropout: float = 0.5
+    kernels: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
@@ -130,7 +163,7 @@ class SasrecEncoder(nn.Module):
         for i in range(self.num_blocks):
             q = TorchLayerNorm(eps=1e-8, name=f"attn_ln_{i}")(x)
             a = TorchMultiheadAttention(
-                self.num_heads, self.dropout, name=f"attn_{i}"
+                self.num_heads, self.dropout, self.kernels, name=f"attn_{i}"
             )(q, x, x, causal, deterministic)
             # Residual adds onto the normalized Q (model_seq.py:378) — a
             # reference quirk kept for parity.
@@ -148,6 +181,7 @@ class BertBlock(nn.Module):
     num_heads: int
     ff_dim: int
     dropout: float
+    kernels: str = "xla"
 
     @nn.compact
     def __call__(
@@ -162,25 +196,35 @@ class BertBlock(nn.Module):
         kp = TorchLinear(d, name="k")(q_in)
         vp = TorchLinear(d, name="v")(q_in)
 
-        def split(y):
-            b, t, _ = y.shape
-            return y.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        if _use_pallas_attention(self.kernels, x.shape[1]):
+            from amid_tpu.ops.pallas_attention import fused_attention
 
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", split(qp), split(kp),
-            preferred_element_type=jnp.float32,
-        ) / math.sqrt(dh)
-        # masked_fill(mask == 0, -1e9) (model_seq.py:155); key_mask [B, Tk]
-        scores = jnp.where(key_mask[:, None, None, :], scores, NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(self.dropout, name="attn_drop")(
-            probs, deterministic=deterministic
-        )
-        att = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, split(vp),
-            preferred_element_type=jnp.float32,
-        )
-        att = att.transpose(0, 2, 1, 3).reshape(x.shape)
+            seed, rate = _dropout_seed(self, deterministic, self.dropout)
+            # masked_fill(mask == 0, -1e9) as an additive key bias
+            # [B, 1, 1, Tk] (model_seq.py:155)
+            bias = jnp.where(key_mask[:, None, None, :], 0.0, NEG_INF)
+            att = fused_attention(qp, kp, vp, bias, seed, h, rate)
+        else:
+
+            def split(y):
+                b, t, _ = y.shape
+                return y.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", split(qp), split(kp),
+                preferred_element_type=jnp.float32,
+            ) / math.sqrt(dh)
+            # masked_fill(mask == 0, -1e9) (model_seq.py:155); key_mask [B, Tk]
+            scores = jnp.where(key_mask[:, None, None, :], scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(self.dropout, name="attn_drop")(
+                probs, deterministic=deterministic
+            )
+            att = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, split(vp),
+                preferred_element_type=jnp.float32,
+            )
+            att = att.transpose(0, 2, 1, 3).reshape(x.shape)
         att = TorchLinear(d, name="out")(att)
         x = x + nn.Dropout(self.dropout, name="subl1_drop")(
             att, deterministic=deterministic
@@ -209,6 +253,7 @@ class Bert4RecEncoder(nn.Module):
     num_heads: int = 4
     ff_dim: int = 512
     dropout: float = 0.1
+    kernels: str = "xla"
 
     @nn.compact
     def __call__(
@@ -216,7 +261,8 @@ class Bert4RecEncoder(nn.Module):
     ) -> jax.Array:
         for i in range(self.num_blocks):
             x = BertBlock(
-                self.num_heads, self.ff_dim, self.dropout, name=f"block_{i}"
+                self.num_heads, self.ff_dim, self.dropout, self.kernels,
+                name=f"block_{i}",
             )(x, key_mask, deterministic)
         return x
 

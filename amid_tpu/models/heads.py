@@ -24,8 +24,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# Measured on v5e (tools/bench_kernels.py, B=256 C=1000): XLA 1.50ms vs the
+# fused pallas kernel 2.01ms — both are VPU-width-bound on the H=32 hidden
+# lanes, and XLA's fusion wins. XLA is the production path; 'force_pallas'
+# keeps the kernel exercisable for development.
+PALLAS_SCORING_MIN_C = 256
+
+
 class PredictHead(nn.Module):
     hid_dim: int
+    kernels: str = "xla"
 
     @nn.compact
     def __call__(
@@ -50,6 +58,18 @@ class PredictHead(nn.Module):
         b2 = self.param("fc2_bias", uinit(bound2), (1,))
 
         k_user, k_item = k1[:d], k1[d:]
+
+        if (
+            self.kernels == "force_pallas"
+            and item_feat.shape[1] >= PALLAS_SCORING_MIN_C
+        ):
+            from amid_tpu.ops.pallas_scoring import scoring_head_pallas
+
+            return (
+                scoring_head_pallas(user_d1, item_feat, k_user, k_item, b1, k2, b2),
+                scoring_head_pallas(user_d2, item_feat, k_user, k_item, b1, k2, b2),
+            )
+
         i_part = jnp.einsum(
             "bcd,dh->bch", item_feat, k_item, preferred_element_type=jnp.float32
         )

@@ -14,7 +14,7 @@ no host sync inside the step loop.
 
 from __future__ import annotations
 
-import time
+
 from typing import Optional
 
 import jax
@@ -141,17 +141,24 @@ def run_seed(
     root_key = jax.random.PRNGKey(seed)
     best: dict[str, float] = {}
     best_score = -1.0
-    examples = 0
-    t0 = time.perf_counter()
+    from amid_tpu.utils.profiler import StepTimer
+
+    timer = StepTimer()
 
     for epoch in range(cfg.epochs):
         meter = AverageMeter()
         ekey = jax.random.fold_in(root_key, epoch)
         for i, batch in enumerate(train_iter):
+            if cfg.profile_steps and epoch == 0 and i == 1:
+                jax.profiler.start_trace(f"{cfg.model_dir}/profile")
             state, m = train_step(
                 state, batch, pools, pool_sizes, jax.random.fold_in(ekey, i)
             )
-            examples += cfg.model.batch_size
+            if cfg.profile_steps and epoch == 0 and i == cfg.profile_steps:
+                jax.block_until_ready(m["loss"])
+                jax.profiler.stop_trace()
+                log.info(f"profile trace written to {cfg.model_dir}/profile")
+            timer.step(cfg.model.batch_size)
             if i % cfg.log_every == 0:
                 meter.update(**{k: float(v) for k, v in m.items()})
                 log.info(
@@ -195,8 +202,7 @@ def run_seed(
             best_score = score
             ckpt.save(epoch, state)
 
-    dt = time.perf_counter() - t0
-    best["examples_per_s"] = examples / dt if dt > 0 else 0.0
+    best["examples_per_s"] = timer.examples_per_s
     if ckpt is not None:
         ckpt.close()
     return best

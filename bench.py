@@ -26,10 +26,11 @@ import numpy as np
 
 # torch reference-equivalent step on this host (2-core CPU), measured via
 # `python bench.py --baseline` (see bench_baseline()).
-REF_BASELINE_EXAMPLES_PER_S = 165.0
+REF_BASELINE_EXAMPLES_PER_S = 118.9
 
 
-def bench_tpu(steps: int = 20, warmup: int = 3) -> float:
+def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
+              kernels: str = "auto") -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -38,7 +39,8 @@ def bench_tpu(steps: int = 20, warmup: int = 3) -> float:
     from amid_tpu.models.amid import build_model
     from amid_tpu.train.steps import TrainState, make_train_step
 
-    cfg = _flagship_cfg(item_length=447410, batch_size=256, seq_len=20)
+    cfg = _flagship_cfg(item_length=447410, batch_size=256, seq_len=seq_len)
+    cfg.kernels = kernels
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _make_batch(cfg, num_neg=1, rng=rng)
@@ -195,6 +197,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", action="store_true")
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--seq_len", type=int, default=20,
+                    help="20 = mybank flagship (run.sh); 150 = amazon shape")
+    ap.add_argument("--kernels", default="auto")
     args = ap.parse_args()
     if args.baseline:
         eps = bench_baseline()
@@ -202,7 +207,8 @@ if __name__ == "__main__":
                           "value": round(eps, 1), "unit": "examples/s",
                           "vs_baseline": 1.0}))
     else:
-        eps = bench_tpu(steps=args.steps)
+        eps = bench_tpu(steps=args.steps, seq_len=args.seq_len,
+                        kernels=args.kernels)
         print(json.dumps({
             "metric": "train_examples_per_s",
             "value": round(eps, 1),

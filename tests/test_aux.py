@@ -1,0 +1,109 @@
+"""Aux losses vs torch oracles; C2DSR interleave; single-domain filtering;
+DR-split tool."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_sce_loss_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from amid_tpu.train.aux_losses import sce_loss
+
+    x = rng.normal(size=(6, 16)).astype(np.float32)
+    y = rng.normal(size=(6, 16)).astype(np.float32)
+    got = float(sce_loss(jnp.asarray(x), jnp.asarray(y), alpha=3))
+    tx, ty = F.normalize(torch.tensor(x), p=2, dim=-1), F.normalize(
+        torch.tensor(y), p=2, dim=-1
+    )
+    want = float(((1 - (tx * ty).sum(-1)) ** 3).mean())
+    assert abs(got - want) < 1e-6
+
+
+def test_info_nce_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from amid_tpu.train.aux_losses import info_nce_loss
+
+    a = rng.normal(size=(5, 8)).astype(np.float32)
+    b = rng.normal(size=(5, 8)).astype(np.float32)
+    got = float(info_nce_loss(jnp.asarray(a), jnp.asarray(b)))
+    ta = F.normalize(torch.tensor(a), dim=-1)
+    tb = F.normalize(torch.tensor(b), dim=-1)
+    logit = torch.exp(ta @ tb.T / 0.07)
+    want = float((-torch.log(torch.diag(logit) / logit.sum(1))).mean())
+    assert abs(got - want) < 1e-5
+
+
+def test_contrastive_margin_matches_torch(rng):
+    from amid_tpu.train.aux_losses import contrastive_margin_loss
+
+    x0 = rng.normal(size=(4, 8)).astype(np.float32)
+    x1 = rng.normal(size=(4, 8)).astype(np.float32)
+    y = np.array([1, 0, 1, 0], np.float32)
+    got = float(
+        contrastive_margin_loss(jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(y))
+    )
+    diff = x0 - x1
+    d2 = (diff**2).sum(1)
+    d = np.sqrt(d2)
+    md = np.clip(1.0 - d, 0, None)
+    want = float((y * d2 + (1 - y) * md**2).sum() / 2.0 / 4)
+    assert abs(got - want) < 1e-5
+
+
+def test_interleave_corr_seq():
+    from amid_tpu.data.sampler import interleave_corr_seq
+
+    real = jnp.asarray([[1, 2, 3]])
+    fake = jnp.asarray([[9, 8, 7]])
+    out = np.asarray(interleave_corr_seq(real, fake))
+    np.testing.assert_array_equal(out, [[1, 9, 2, 8, 3, 7]])
+
+
+def test_single_domain_filter(tmp_path):
+    from amid_tpu.data.packed import load_dual_domain_csv
+
+    p = tmp_path / "d.csv"
+    p.write_text(
+        'user_id,seq_d1,seq_d2,domain_id\n'
+        '1,"[1, 2]","[]",0\n'
+        '2,"[]","[5, 6]",1\n'
+        '3,"[3, 4]","[7]",0\n'
+    )
+    ds = load_dual_domain_csv(str(p), seq_len=4, pad_id=99, subdomain=0)
+    assert len(ds) == 2
+    np.testing.assert_array_equal(ds.user, [1, 3])
+    assert (ds.domain_id == 0).all()
+
+
+def test_dr_split_tool(tmp_path):
+    import subprocess
+    import sys
+
+    src = tmp_path / "x_train100.csv"
+    rows = ['user_id,seq_d1,seq_d2,domain_id']
+    for i in range(20):
+        if i < 5:  # overlap users
+            rows.append(f'{i},"[1, 2]","[3, 4]",0')
+        else:
+            rows.append(f'{i},"[1, 2]","[]",0')
+    src.write_text("\n".join(rows) + "\n")
+    out = subprocess.run(
+        [sys.executable, "tools/filter_dr_dataset.py", str(src),
+         str(tmp_path / "x"), "--ratios", "0.2"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    from amid_tpu.data.packed import read_dual_domain_csv
+
+    users, s1, s2, dom, ob = read_dual_domain_csv(
+        str(tmp_path / "x_train20_DR.csv"), with_ob_label=True
+    )
+    assert len(users) == 20
+    # 5 overlap + 3 sampled non-overlap observed
+    assert sum(ob) == 5 + 3

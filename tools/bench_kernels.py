@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Per-kernel microbenchmarks on the TPU chip with roofline accounting.
+
+Times each op with a device-side lax.scan loop (the axon tunnel adds ~ms of
+per-dispatch latency that would otherwise dominate), reports achieved
+TFLOP/s and GB/s vs the v5e roofline (197 TFLOP/s bf16, ~819 GB/s HBM).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+V5E_BF16_TFLOPS = 197.0
+V5E_HBM_GBS = 819.0
+
+
+def device_time(f, args, iters=20):
+    """Median wall time of f applied `iters` times inside one jit program."""
+    import jax
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(args):
+        def body(carry, _):
+            *xs, salt = carry
+            out = f(*xs, salt)
+            # return a scalar probe so the stacked output is tiny, and bump
+            # the salt so iterations can't be CSE'd into one
+            return (*xs, salt + 1), jnp.sum(out[:1, :1])
+
+        (_, *_r), probes = jax.lax.scan(
+            body, (*args, jnp.float32(0)), None, length=iters
+        )
+        return probes
+
+    compiled = loop.lower(args).compile()
+    compiled(args)  # warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(compiled(args))
+        times.append((time.perf_counter() - t0) / iters)
+    return min(times)
+
+
+def bench_affinity(report):
+    import jax
+    import jax.numpy as jnp
+
+    from amid_tpu.ops.affinity import max_affinity_xla
+    from amid_tpu.ops.pallas_affinity import max_affinity_pallas
+
+    rng = np.random.default_rng(0)
+    for n in (20, 160):
+        B, D = 256, 128
+        a = jnp.asarray(rng.normal(size=(B, n, D)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(B, n, D)).astype(np.float32))
+        flops = 2 * B * B * n * n * D
+
+        def f_pallas(x, y, salt):
+            return max_affinity_pallas(x + 0.0 * salt, y)
+
+        def f_xla(x, y, salt):
+            return max_affinity_xla(x + 0.0 * salt, y)
+
+        err = float(
+            jnp.max(jnp.abs(max_affinity_pallas(a, b) - max_affinity_xla(a, b)))
+        )
+        for name, f in (("pallas", f_pallas), ("xla", f_xla)):
+            try:
+                dt = device_time(f, (a, b))
+            except Exception as e:  # noqa: BLE001
+                report(f"affinity[N={n}] {name}: FAILED {type(e).__name__}")
+                continue
+            tf = flops / dt / 1e12
+            report(
+                f"affinity[B={B},N={n},D={D}] {name}: {dt*1e6:8.0f} us "
+                f"{tf:7.2f} TF/s ({100*tf/V5E_BF16_TFLOPS:5.1f}% SOL) "
+                f"maxdiff={err:.2e}"
+            )
+
+
+def bench_attention(report):
+    import jax
+    import jax.numpy as jnp
+
+    from amid_tpu.ops.pallas_attention import fused_attention
+    from tests.test_pallas_attention import xla_attention
+
+    rng = np.random.default_rng(0)
+    for t in (20, 160):
+        B, D, H = 256, 128, 8
+        q = jnp.asarray(rng.normal(size=(B, t, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, t, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, t, D)).astype(np.float32))
+        bias = jnp.triu(jnp.full((t, t), -1e9, jnp.float32), k=1)[None, None]
+        seed = jnp.zeros((1,), jnp.int32)
+        flops = 2 * 2 * B * H * t * t * (D // H)  # qk^T + pv
+
+        def f_pallas(q, k, v, salt):
+            return fused_attention(q + 0 * salt, k, v, bias, seed, H, 0.0)
+
+        def f_xla(q, k, v, salt):
+            return xla_attention(q + 0 * salt, k, v, bias, H)
+
+        def g_pallas(q, k, v, salt):
+            return jax.grad(
+                lambda q: jnp.sum(
+                    fused_attention(q, k, v, bias, seed, H, 0.0)
+                )
+            )(q + 0 * salt)
+
+        def g_xla(q, k, v, salt):
+            return jax.grad(
+                lambda q: jnp.sum(xla_attention(q, k, v, bias, H))
+            )(q + 0 * salt)
+
+        err = float(jnp.max(jnp.abs(
+            fused_attention(q, k, v, bias, seed, H, 0.0)
+            - xla_attention(q, k, v, bias, H)
+        )))
+        for name, f, mult in (
+            ("pallas fwd", f_pallas, 1), ("xla fwd", f_xla, 1),
+            ("pallas fwd+bwd", g_pallas, 3), ("xla fwd+bwd", g_xla, 3),
+        ):
+            try:
+                dt = device_time(f, (q, k, v))
+            except Exception as e:  # noqa: BLE001
+                report(f"attention[T={t}] {name}: FAILED {type(e).__name__}: {e}")
+                continue
+            tf = mult * flops / dt / 1e12
+            report(
+                f"attention[B={B},T={t},D={D},h={H}] {name}: {dt*1e6:8.0f} us "
+                f"~{tf:6.2f} TF/s  maxdiff={err:.2e}"
+            )
+
+
+def bench_scoring(report):
+    import jax
+    import jax.numpy as jnp
+
+    from amid_tpu.ops.pallas_scoring import scoring_head_pallas
+
+    rng = np.random.default_rng(0)
+    B, C, D, H = 256, 1000, 128, 32
+    user = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    items = jnp.asarray(rng.normal(size=(B, C, D)).astype(np.float32))
+    ku = jnp.asarray(rng.normal(size=(D, H)).astype(np.float32) * 0.05)
+    ki = jnp.asarray(rng.normal(size=(D, H)).astype(np.float32) * 0.05)
+    b1 = jnp.zeros((H,), jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(H, 1)).astype(np.float32) * 0.1)
+    b2 = jnp.zeros((1,), jnp.float32)
+
+    def xla_head(user, items, salt):
+        u_part = (user + 0 * salt) @ ku
+        i_part = jnp.einsum("bcd,dh->bch", items, ki)
+        hidden = jax.nn.relu(u_part[:, None, :] + i_part + b1)
+        return jax.nn.sigmoid(jnp.einsum("bch,ho->bco", hidden, k2)[..., 0] + b2[0])
+
+    def f_pallas(user, items, salt):
+        return scoring_head_pallas(user + 0 * salt, items, ku, ki, b1, k2, b2)
+
+    flops = 2 * B * C * (2 * D * H + H)
+    for name, f in (("pallas", f_pallas), ("xla", xla_head)):
+        try:
+            dt = device_time(f, (user, items))
+        except Exception as e:  # noqa: BLE001
+            report(f"scoring {name}: FAILED {type(e).__name__}: {e}")
+            continue
+        gb = (B * C * D * 4) / dt / 1e9
+        report(
+            f"scoring[B={B},C={C},D={D},H={H}] {name}: {dt*1e6:8.0f} us "
+            f"{flops/dt/1e12:6.2f} TF/s  {gb:6.0f} GB/s item-read"
+        )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", default="all")
+    args = ap.parse_args()
+    lines = []
+
+    def report(s):
+        print(s, flush=True)
+        lines.append(s)
+
+    if args.kernel in ("all", "affinity"):
+        bench_affinity(report)
+    if args.kernel in ("all", "attention"):
+        bench_attention(report)
+    if args.kernel in ("all", "scoring"):
+        bench_scoring(report)

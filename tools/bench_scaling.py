@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Scaling harness: flagship train step across mesh sizes.
+
+Two modes:
+* default (TPU): single-chip examples/s on the real chip (the only hardware
+  available here) — matches bench.py.
+* --cpu-mesh: runs the FULL sharded train step (dp over `data`, row-sharded
+  item table over `model`) on 1/2/4/8 virtual CPU devices with a synthetic
+  table (--items, default 1M; the 50M north-star config runs the same code
+  path — 50M x 128 fp32 = 25.6 GB, which needs >= 8 real chips' HBM at 3.2
+  GB/shard). On virtual CPU devices this validates partitioning, memory
+  layout and collective insertion, not speed; real multi-chip throughput
+  requires a pod slice.
+
+Prints one line per mesh config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
+             seq_len: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from amid_tpu.config import MeshConfig, ModelConfig
+    from amid_tpu.models.amid import build_model
+    from amid_tpu.parallel.mesh import DATA_AXIS, make_mesh, param_shardings
+    from amid_tpu.train.steps import TrainState, make_train_step
+
+    devices = jax.devices()[:n_devices]
+    mesh = make_mesh(MeshConfig(model_axis=model_par), devices=devices)
+    cfg = ModelConfig(
+        backbone="sasrec", emb_dim=128, hid_dim=32, seq_len=seq_len,
+        batch_size=batch, is_itc=True, ts2=0.4, is_dr=True,
+        item_length=items // 2, user_length=items // 2, kernels="xla",
+    )
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    v = cfg.item_table_size
+    batch_arrays = {
+        "target": rng.integers(0, v, batch).astype(np.int32),
+        "neg_samples": rng.integers(0, v, (batch, 1)).astype(np.int32),
+        "seq_d1": rng.integers(0, v, (batch, seq_len)).astype(np.int32),
+        "seq_d2": rng.integers(0, v, (batch, seq_len)).astype(np.int32),
+        "domain_id": rng.integers(0, 2, batch).astype(np.int32),
+        "reject": np.full((batch, 4), 1 << 20, np.int32),
+        "reject_counts": np.zeros(batch, np.int32),
+        "ob_label": np.ones(batch, np.int32),
+    }
+    pool_len = 1 << 20
+    pools = np.sort(rng.integers(0, v, (2, pool_len)), axis=1).astype(np.int32)
+    pool_sizes = np.array([pool_len, pool_len], np.int32)
+
+    key = jax.random.PRNGKey(0)
+    model_batch = {
+        k: jnp.asarray(batch_arrays[k])
+        for k in ("target", "neg_samples", "seq_d1", "seq_d2")
+    }
+    params = model.init({"params": key, "dropout": key}, model_batch,
+                        train=False)["params"]
+    tx = optax.adam(5e-4)
+    state = TrainState(params, tx.init(params), None)
+    state = jax.device_put(
+        state,
+        TrainState(param_shardings(mesh, params),
+                   param_shardings(mesh, state.opt_state), None),
+    )
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+    batch_dev = {k: jax.device_put(jnp.asarray(v_), bsh)
+                 for k, v_ in batch_arrays.items()}
+    repl = NamedSharding(mesh, P())
+    pools_dev = jax.device_put(jnp.asarray(pools), repl)
+    sizes_dev = jax.device_put(jnp.asarray(pool_sizes), repl)
+
+    step = make_train_step(model, tx, dr_e_w=0.01)
+    state, m = step(state, batch_dev, pools_dev, sizes_dev, key)  # compile
+    jax.block_until_ready(m["loss"])
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch_dev, pools_dev, sizes_dev,
+                        jax.random.fold_in(key, i))
+    jax.block_until_ready(m["loss"])
+    return iters * batch / (time.perf_counter() - t0)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-mesh", action="store_true")
+    ap.add_argument("--items", type=int, default=1_000_000)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--seq_len", type=int, default=20)
+    a = ap.parse_args()
+
+    if a.cpu_mesh:
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        configs = [(1, 1), (2, 2), (4, 2), (8, 2)]
+    else:
+        import jax
+
+        configs = [(1, 1)]
+
+    for n, mp in configs:
+        if n > len(jax.devices()):
+            continue
+        eps = run_mesh(n, mp, a.items, a.batch, a.seq_len)
+        print(
+            f"devices={n} mesh=({n // mp}x{mp} dp x tp) items={a.items} "
+            f"batch={a.batch}: {eps:,.0f} examples/s", flush=True,
+        )
