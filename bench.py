@@ -69,14 +69,14 @@ def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
 
     for i in range(warmup):
         state, m = step(state, batch, pools, pool_sizes, jax.random.fold_in(key, i))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # host fetch: the only true sync through the TPU tunnel
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = step(
             state, batch, pools, pool_sizes, jax.random.fold_in(key, 100 + i)
         )
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # waits on the full dependency chain of all steps
     dt = time.perf_counter() - t0
     return steps * cfg.batch_size / dt
 

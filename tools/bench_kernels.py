@@ -32,9 +32,10 @@ def device_time(f, args, iters=20):
         def body(carry, _):
             *xs, salt = carry
             out = f(*xs, salt)
-            # return a scalar probe so the stacked output is tiny, and bump
-            # the salt so iterations can't be CSE'd into one
-            return (*xs, salt + 1), jnp.sum(out[:1, :1])
+            # full-sum probe: consuming every output element stops XLA from
+            # slicing the computation down to a corner (a [:1,:1] probe let a
+            # gather benchmark "run" in 8us); salt defeats cross-iteration CSE
+            return (*xs, salt + 1), jnp.sum(out)
 
         (_, *_r), probes = jax.lax.scan(
             body, (*args, jnp.float32(0)), None, length=iters
@@ -42,11 +43,13 @@ def device_time(f, args, iters=20):
         return probes
 
     compiled = loop.lower(args).compile()
-    compiled(args)  # warmup
+    np.asarray(compiled(args))  # warmup; host fetch forces real completion
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(compiled(args))
+        # block_until_ready is decoupled from device execution through the
+        # axon tunnel — a device->host fetch is the only true sync point
+        np.asarray(compiled(args))
         times.append((time.perf_counter() - t0) / iters)
     return min(times)
 

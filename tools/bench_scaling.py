@@ -86,13 +86,13 @@ def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
 
     step = make_train_step(model, tx, dr_e_w=0.01)
     state, m = step(state, batch_dev, pools_dev, sizes_dev, key)  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # host fetch: the only true sync through the TPU tunnel
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, batch_dev, pools_dev, sizes_dev,
                         jax.random.fold_in(key, i))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     return iters * batch / (time.perf_counter() - t0)
 
 
