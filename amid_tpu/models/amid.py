@@ -45,10 +45,15 @@ class AMIDModel(nn.Module):
         cfg = self.cfg
         det = not train
 
+        # Inside a shard_map SPMD region this module sees only its row shard
+        # of the table; declare the local shape so flax's shape check passes
+        # (init always runs outside the region with the full shape).
+        from amid_tpu.parallel import context as spmd_context
+
+        ctx = spmd_context.current()
+        rows = cfg.item_table_size // (ctx.model_shards if ctx else 1)
         item_emb = self.param(
-            "item_embedding",
-            torch_embedding_init,
-            (cfg.item_table_size, cfg.emb_dim),
+            "item_embedding", torch_embedding_init, (rows, cfg.emb_dim)
         )
 
         def lookup(ids):

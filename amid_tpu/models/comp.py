@@ -67,7 +67,18 @@ class PeerMessage(nn.Module):
         w_bs = self.param("trans_bs_kernel", uinit(bound_bs), (bs,))
         b_bs = self.param("trans_bs_bias", uinit(bound_bs), (1,))
 
-        aff = max_affinity(seq_self, seq_peer, kernels=self.kernels)  # [B, B]
+        # Inside a shard_map SPMD region the batch is sharded over `data`;
+        # the contraction is over the GLOBAL batch, so gather the peer bank
+        # explicitly (rows of the affinity/gate stay local).
+        from amid_tpu.parallel import context
+
+        ctx = context.current()
+        if ctx is not None:
+            seq_peer = jax.lax.all_gather(
+                seq_peer, ctx.data_axis, axis=0, tiled=True
+            )
+
+        aff = max_affinity(seq_self, seq_peer, kernels=self.kernels)  # [b_l, B]
         gate = jax.nn.softmax(aff, axis=1)
         adj = jnp.where(gate > self.threshold, 1.0, 0.0)  # hard gate, no grad to aff
 

@@ -28,8 +28,18 @@ import jax.numpy as jnp
 
 
 def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
-    """Plain gather; under pjit the table may be sharded — GSPMD handles the
-    replicated case; the explicit sharded path is `sharded_lookup` below."""
+    """Dispatch point used inside the model. Plain gather under jit/GSPMD;
+    inside a shard_map SPMD region (parallel.context) `table` is this
+    shard's rows and the lookup becomes mask-and-psum over the model axis."""
+    from amid_tpu.parallel import context
+
+    ctx = context.current()
+    if ctx is not None:
+        # Run the masked-psum path even for a single model shard: the table
+        # arrives with spec P(model, None) and shard_map's replication
+        # tracker needs the psum to prove the result is model-replicated
+        # (size-1 axes still count as "varying").
+        return sharded_lookup(table, ids, ctx.model_axis, ctx.model_shards)
     return jnp.take(table, ids, axis=0)
 
 
