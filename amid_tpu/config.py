@@ -163,6 +163,8 @@ class TrainConfig:
     checkpoint_keep: int = 1
     profile_steps: int = 0  # >0: capture a jax.profiler trace of the first N
     #                         steps of epoch 0 into model_dir/profile
+    resume: bool = False  # restore latest checkpoint and continue
+    subdomain: int = -1  # >=0: single-domain training (dataset_seq.py:24-28)
     eval_batch_drop_last: bool = True  # reference val loader drop_last=True (train_sr.py:455)
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -205,6 +207,11 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--kernels", type=str, default="auto")
     p.add_argument("--profile_steps", type=int, default=0)
+    p.add_argument("--bf16", type=_parse_bool, default=False)
+    p.add_argument("--resume", type=_parse_bool, default=False)
+    p.add_argument("--subdomain", type=int, default=-1,
+                   help=">=0: single-domain mode — keep only rows of this "
+                        "domain (reference SingleDomainSeqDataset)")
 
 
 def _parse_bool(v: str) -> bool:
@@ -230,6 +237,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         ts2=a.ts2,
         is_dr=a.isDR or is_dr,
         kernels=a.kernels,
+        use_bf16=a.bf16,
     )
     data = DataConfig(
         dataset_type=a.dataset_type,
@@ -249,6 +257,8 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         overlap_eval=a.overlap,
         model_dir=a.model_dir,
         profile_steps=a.profile_steps,
+        resume=a.resume,
+        subdomain=a.subdomain,
         model=model,
         data=data,
     )

@@ -43,6 +43,16 @@ class AMIDModel(nn.Module):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = True) -> dict[str, jax.Array]:
         cfg = self.cfg
+        if cfg.use_bf16:
+            # run every matmul at bf16 input precision (fp32 accumulate on
+            # the MXU); params/activations stay fp32 so optimizer state and
+            # loss numerics are unchanged
+            with jax.default_matmul_precision("bfloat16"):
+                return self._forward(batch, train)
+        return self._forward(batch, train)
+
+    def _forward(self, batch: Batch, train: bool) -> dict[str, jax.Array]:
+        cfg = self.cfg
         det = not train
 
         # Inside a shard_map SPMD region this module sees only its row shard

@@ -1,0 +1,66 @@
+"""Multi-host initialization (new subsystem; the reference is single-process,
+SURVEY.md §2.5).
+
+On a multi-host TPU slice each host runs the same program;
+`initialize_distributed()` wires them into one JAX runtime
+(jax.distributed.initialize — coordinator discovery is automatic on Cloud
+TPU). The mesh helpers in parallel.mesh then span all hosts' devices:
+`data` parallelism crosses hosts over DCN, while the `model` axis (embedding
+row shards, whose mask-and-psum lookup is latency-sensitive) should stay
+within a slice so its collectives ride ICI — `make_host_aligned_mesh` lays
+devices out accordingly.
+
+Per-host data loading: BatchIterator + `host_local_slice` give each host its
+contiguous rows of the global batch; jax.make_array_from_process_local_data
+assembles the global sharded arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+from amid_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Idempotent jax.distributed.initialize; no-op for single process."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process environment (no coordinator) — run locally
+        pass
+
+
+def make_host_aligned_mesh(model_axis: int = 1) -> Mesh:
+    """Mesh whose `model` axis stays within each host's local devices (ICI)
+    and `data` axis spans hosts (DCN)."""
+    local = jax.local_device_count()
+    if model_axis > local or local % model_axis != 0:
+        raise ValueError(
+            f"model_axis={model_axis} must divide local device count {local}"
+        )
+    devices = np.array(jax.devices()).reshape(
+        jax.process_count() * (local // model_axis), model_axis
+    )
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def host_local_slice(n_rows: int) -> tuple[int, int]:
+    """This host's contiguous [start, end) row range of a global batch."""
+    per = n_rows // jax.process_count()
+    start = jax.process_index() * per
+    return start, start + per

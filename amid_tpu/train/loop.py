@@ -131,12 +131,20 @@ def run_seed(
     )
 
     ckpt = None
+    start_epoch = 0
     if cfg.checkpoint:
         from amid_tpu.train.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(
             f"{cfg.model_dir}/checkpoint/seed{seed}", keep=cfg.checkpoint_keep
         )
+        if cfg.resume:
+            restored = ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                # latest_step() can legitimately be 0 — don't `or`-default it
+                start_epoch = ckpt.latest_step() + 1
+                log.info(f"resumed from checkpoint at epoch {start_epoch - 1}")
 
     root_key = jax.random.PRNGKey(seed)
     best: dict[str, float] = {}
@@ -145,7 +153,7 @@ def run_seed(
 
     timer = StepTimer()
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         meter = AverageMeter()
         ekey = jax.random.fold_in(root_key, epoch)
         for i, batch in enumerate(train_iter):
@@ -203,6 +211,7 @@ def run_seed(
             ckpt.save(epoch, state)
 
     best["examples_per_s"] = timer.examples_per_s
+    best["start_epoch"] = float(start_epoch)
     if ckpt is not None:
         ckpt.close()
     return best
@@ -225,13 +234,14 @@ def run(cfg: TrainConfig) -> dict[str, dict]:
     log.info(cfg.to_json())
     is_dr = cfg.model.is_dr
 
+    sub = cfg.subdomain if cfg.subdomain >= 0 else None
     train_ds = load_dual_domain_csv(
         cfg.data.train_csv(), cfg.model.seq_len, cfg.model.pad_id,
-        cfg.data.long_length,
+        cfg.data.long_length, subdomain=sub,
     )
     val_ds = load_dual_domain_csv(
         cfg.data.test_csv(), cfg.model.seq_len, cfg.model.pad_id,
-        cfg.data.long_length,
+        cfg.data.long_length, subdomain=sub,
     )
     dr_ds = (
         load_dual_domain_csv(
