@@ -185,6 +185,46 @@ def bench_scoring(report):
         )
 
 
+def bench_embedding(report):
+    import jax
+    import jax.numpy as jnp
+
+    from amid_tpu.ops.pallas_embedding import embedding_gather_pallas
+
+    rng = np.random.default_rng(0)
+    V, D = 894820, 128
+    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    n = 256 * 302  # one flagship step's worth of lookups
+    ids = jnp.asarray(rng.integers(0, V, (n,), dtype=np.int32))
+    w = jnp.asarray(rng.normal(size=(n, D)).astype(np.float32))
+
+    # Non-factorable consumer (XLA rewrites sum-of-gather into a row-sum
+    # precompute + scalar gather otherwise); salt perturbs ids via roll.
+    def f_xla(table, ids, w, salt):
+        i = jnp.roll(ids, salt.astype(jnp.int32))
+        return jnp.take(table, i, axis=0) * w
+
+    def f_pallas(table, ids, w, salt):
+        i = jnp.roll(ids, salt.astype(jnp.int32))
+        return embedding_gather_pallas(table, i) * w
+
+    err = float(jnp.max(jnp.abs(
+        embedding_gather_pallas(table, ids[:1024])
+        - jnp.take(table, ids[:1024], axis=0)
+    )))
+    bytes_ = n * D * 4 * 3  # row read + weighted write (+w read)
+    for name, f in (("pallas", f_pallas), ("xla", f_xla)):
+        try:
+            dt = device_time(f, (table, ids, w), iters=10)
+        except Exception as e:  # noqa: BLE001
+            report(f"embedding {name}: FAILED {type(e).__name__}: {e}")
+            continue
+        report(
+            f"embedding-gather[{n} rows of {V}x{D}] {name}: {dt*1e6:8.0f} us "
+            f"{bytes_/dt/1e9:6.0f} GB/s  maxdiff={err:.1e}"
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernel", default="all")
@@ -201,3 +241,5 @@ if __name__ == "__main__":
         bench_attention(report)
     if args.kernel in ("all", "scoring"):
         bench_scoring(report)
+    if args.kernel in ("all", "embedding"):
+        bench_embedding(report)
