@@ -66,15 +66,18 @@ def evaluate(
     overlap_eval: bool,
 ) -> dict[str, float]:
     acc = RankAccumulator(overlap_eval)
-    meter = AverageMeter("loss_cls")
+    val_losses = []
     for i, batch in enumerate(val_iter):
         out = eval_step(params, batch, pools, pool_sizes, jax.random.fold_in(key, i))
         acc.add(
             out["ranks_fixed"], out["ranks_raw"], batch["domain_id"], batch["overlap"]
         )
-        meter.update(loss_cls=float(out["loss_cls"]))
+        # defer the host fetch — all eval batches dispatch back-to-back
+        val_losses.append(out["loss_cls"])
     metrics = acc.finalize()
-    metrics["val_loss"] = meter.mean("loss_cls")
+    metrics["val_loss"] = (
+        float(np.mean([float(v) for v in val_losses])) if val_losses else 0.0
+    )
     return metrics
 
 

@@ -64,14 +64,18 @@ class RankAccumulator:
         self.overlaps: list[np.ndarray] = []
 
     def add(self, ranks_fixed, ranks_raw, domain_id, overlap) -> None:
-        self.ranks_fixed.append(np.asarray(ranks_fixed))
-        self.ranks_raw.append(np.asarray(ranks_raw))
-        self.domains.append(np.asarray(domain_id))
-        self.overlaps.append(np.asarray(overlap))
+        # store as-is (possibly device arrays) — the host fetch is deferred
+        # to finalize() so eval batches pipeline without per-batch syncs
+        self.ranks_fixed.append(ranks_fixed)
+        self.ranks_raw.append(ranks_raw)
+        self.domains.append(domain_id)
+        self.overlaps.append(overlap)
 
     def finalize(self) -> dict[str, float]:
         def cat(xs):
-            return np.concatenate(xs) if xs else np.zeros(0, np.int32)
+            if not xs:
+                return np.zeros(0, np.int32)
+            return np.concatenate([np.asarray(x) for x in xs])
 
         rf, rr = cat(self.ranks_fixed), cat(self.ranks_raw)
         dom, ov = cat(self.domains), cat(self.overlaps)
