@@ -63,6 +63,32 @@ class PackedDualDomainDataset:
     def __len__(self) -> int:
         return int(self.user.shape[0])
 
+    def save(self, path: str) -> None:
+        """Persist the packed arrays (npz). Re-loading skips CSV/JSON parsing
+        entirely — the production restart path for large splits."""
+        np.savez_compressed(
+            path,
+            pad_id=np.int32(self.pad_id),
+            seq_len=np.int32(self.seq_len),
+            **self.batch_arrays(),
+            pools=self.pools,
+            pool_sizes=self.pool_sizes,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PackedDualDomainDataset":
+        z = np.load(path)
+        return cls(
+            user=z["user"], target=z["target"],
+            seq_d1=z["seq_d1"], seq_d2=z["seq_d2"],
+            long_mask_d1=z["long_mask_d1"], long_mask_d2=z["long_mask_d2"],
+            domain_id=z["domain_id"], overlap=z["overlap"],
+            ob_label=z["ob_label"], reject=z["reject"],
+            reject_counts=z["reject_counts"], pools=z["pools"],
+            pool_sizes=z["pool_sizes"],
+            pad_id=int(z["pad_id"]), seq_len=int(z["seq_len"]),
+        )
+
     def batch_arrays(self) -> dict[str, np.ndarray]:
         """Per-row arrays that get sliced into batches."""
         return {

@@ -139,3 +139,15 @@ def test_negative_sampler_uniform(packed):
     row = np.asarray(neg)[0]  # valid set {4, 5}
     frac = (row == 4).mean()
     assert 0.45 < frac < 0.55
+
+
+def test_packed_save_load_roundtrip(tmp_path, packed):
+    p = str(tmp_path / "ds.npz")
+    packed.save(p)
+    from amid_tpu.data.packed import PackedDualDomainDataset
+
+    loaded = PackedDualDomainDataset.load(p)
+    assert loaded.pad_id == packed.pad_id and loaded.seq_len == packed.seq_len
+    for k, v in packed.batch_arrays().items():
+        np.testing.assert_array_equal(loaded.batch_arrays()[k], v)
+    np.testing.assert_array_equal(loaded.pools, packed.pools)
