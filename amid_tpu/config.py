@@ -165,6 +165,10 @@ class TrainConfig:
     #                         steps of epoch 0 into model_dir/profile
     resume: bool = False  # restore latest checkpoint and continue
     subdomain: int = -1  # >=0: single-domain training (dataset_seq.py:24-28)
+    # Failure detection (new; reference has none, SURVEY §5): on a
+    # non-finite train loss — "restore" rolls back to the last checkpoint
+    # once and continues, "halt" raises, "ignore" logs only.
+    nan_policy: str = "restore"
     eval_batch_drop_last: bool = True  # reference val loader drop_last=True (train_sr.py:455)
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)

@@ -81,6 +81,26 @@ def evaluate(
     return metrics
 
 
+class NonFiniteLossError(RuntimeError):
+    pass
+
+
+def _handle_nan(cfg, log, ckpt, state, epoch, step):
+    """Failure detection (new vs reference, SURVEY §5): act on a non-finite
+    train loss per cfg.nan_policy."""
+    msg = f"non-finite train loss at epoch {epoch} step {step}"
+    if cfg.nan_policy == "halt":
+        raise NonFiniteLossError(msg)
+    if cfg.nan_policy == "restore" and ckpt is not None:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            log.error(f"{msg}; rolled back to checkpoint "
+                      f"{ckpt.latest_step()}")
+            return restored
+    log.error(f"{msg}; continuing (policy={cfg.nan_policy})")
+    return state
+
+
 def _track_best(best: dict[str, float], cur: dict[str, float]) -> None:
     for k, v in cur.items():
         if k.startswith(("hit_", "ndcg_", "mrr")):
@@ -171,7 +191,11 @@ def run_seed(
                 log.info(f"profile trace written to {cfg.model_dir}/profile")
             timer.step(cfg.model.batch_size)
             if i % cfg.log_every == 0:
-                meter.update(**{k: float(v) for k, v in m.items()})
+                vals = {k: float(v) for k, v in m.items()}
+                if not all(np.isfinite(v) for v in vals.values()):
+                    state = _handle_nan(cfg, log, ckpt, state, epoch, i)
+                    continue
+                meter.update(**vals)
                 log.info(
                     "train "
                     + ", ".join(f"{k}:{meter.mean(k):.5f}" for k in sorted(m))
