@@ -41,38 +41,77 @@ class AMIDModel(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, batch: Batch, train: bool = True) -> dict[str, jax.Array]:
+    def __call__(
+        self, batch: Batch, train: bool = True, features_only: bool = False
+    ):
+        """features_only=True returns the pooled per-domain user
+        representations (u_feat_enhance_d1/d2, model_seq.py:432-434) — the
+        serving entry point (amid_tpu.serve scores them against the full
+        catalog) — instead of candidate logits."""
         cfg = self.cfg
+        fn = self._features if features_only else self._forward
         if cfg.use_bf16:
             # run every matmul at bf16 input precision (fp32 accumulate on
             # the MXU); params/activations stay fp32 so optimizer state and
             # loss numerics are unchanged
             with jax.default_matmul_precision("bfloat16"):
-                return self._forward(batch, train)
-        return self._forward(batch, train)
+                return fn(batch, train)
+        return fn(batch, train)
 
     def _forward(self, batch: Batch, train: bool) -> dict[str, jax.Array]:
         cfg = self.cfg
-        det = not train
+        u_d1, u_d2 = self._features(batch, train)
 
-        # Inside a shard_map SPMD region this module sees only its row shard
-        # of the table; declare the local shape so flax's shape check passes
-        # (init always runs outside the region with the full shape).
+        def lookup(ids):
+            from amid_tpu.parallel.embedding import embedding_lookup
+
+            return embedding_lookup(self._item_table(), ids)
+
+        i_feat = lookup(batch["target"])[:, None, :]  # [B, 1, D]
+        neg_feat = lookup(batch["neg_samples"])  # [B, K, D]
+        cand = jnp.concatenate([i_feat, neg_feat], axis=1)  # [B, 1+K, D]
+
+        out = {}
+        out["logits_d1"], out["logits_d2"] = PredictHead(
+            cfg.hid_dim, cfg.kernels, name="predict"
+        )(u_d1, u_d2, cand)
+        if cfg.is_dr:
+            out["ips_d1"], out["ips_d2"] = PredictHead(
+                cfg.hid_dim, cfg.kernels, name="predict_ips"
+            )(u_d1, u_d2, cand)
+            out["gfunc_d1"], out["gfunc_d2"] = PredictHead(
+                cfg.hid_dim, cfg.kernels, name="predict_gfunc"
+            )(u_d1, u_d2, cand)
+        return out
+
+    def _item_table(self):
+        # Declared once (by whichever of _features/_forward runs first);
+        # subsequent calls read the existing variable.
+        if self.has_variable("params", "item_embedding"):
+            return self.get_variable("params", "item_embedding")
+        cfg = self.cfg
         from amid_tpu.parallel import context as spmd_context
 
         ctx = spmd_context.current()
         rows = cfg.item_table_size // (ctx.model_shards if ctx else 1)
-        item_emb = self.param(
+        return self.param(
             "item_embedding", torch_embedding_init, (rows, cfg.emb_dim)
         )
+
+    def _features(self, batch: Batch, train: bool):
+        cfg = self.cfg
+        det = not train
+
+        # Inside a shard_map SPMD region this module sees only its row shard
+        # of the table (declared with the local shape; init runs outside the
+        # region with the full shape).
+        item_emb = self._item_table()
 
         def lookup(ids):
             from amid_tpu.parallel.embedding import embedding_lookup
 
             return embedding_lookup(item_emb, ids)
 
-        i_feat = lookup(batch["target"])[:, None, :]  # [B, 1, D]
-        neg_feat = lookup(batch["neg_samples"])  # [B, K, D]
         seq_d1 = lookup(batch["seq_d1"])  # [B, L, D]
         seq_d2 = lookup(batch["seq_d2"])
 
@@ -124,20 +163,7 @@ class AMIDModel(nn.Module):
 
         u_d1 = jnp.mean(seq_d1, axis=1)  # plain mean incl. pad positions
         u_d2 = jnp.mean(seq_d2, axis=1)  # (model_seq.py:432-434)
-        cand = jnp.concatenate([i_feat, neg_feat], axis=1)  # [B, 1+K, D]
-
-        out = {}
-        out["logits_d1"], out["logits_d2"] = PredictHead(
-            cfg.hid_dim, cfg.kernels, name="predict"
-        )(u_d1, u_d2, cand)
-        if cfg.is_dr:
-            out["ips_d1"], out["ips_d2"] = PredictHead(
-                cfg.hid_dim, cfg.kernels, name="predict_ips"
-            )(u_d1, u_d2, cand)
-            out["gfunc_d1"], out["gfunc_d2"] = PredictHead(
-                cfg.hid_dim, cfg.kernels, name="predict_gfunc"
-            )(u_d1, u_d2, cand)
-        return out
+        return u_d1, u_d2
 
     def _apply_itc(self, seq_d1, seq_d2):
         cfg = self.cfg

@@ -1,0 +1,83 @@
+"""Full-catalog top-K retrieval — the serving path.
+
+The reference only ever scores 1+K sampled candidates (model_seq.py:40-54);
+production retrieval needs each user's top-K over the ENTIRE item catalog.
+This scores the catalog in item tiles against the user representations with
+the same predictModule math (split-kernel MLP) and keeps a running top-K via
+lax.top_k over [current topk ++ tile] — the full [B, V] score matrix never
+materializes.
+
+Scoring the mybank-scale catalog (894,820 rows) for a 256-user batch is
+~2 TFLOP per domain — ~10-20 ms/batch on a v5e chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _score_tile(u_part, items, k_item, b1, k2, b2):
+    """u_part [B, H]; items [T, D] -> scores [B, T]."""
+    i_part = jnp.einsum("td,dh->th", items, k_item,
+                        preferred_element_type=jnp.float32)
+    hidden = jax.nn.relu(u_part[:, None, :] + i_part[None, :, :] + b1)
+    return jax.nn.sigmoid(
+        jnp.einsum("bth,ho->bto", hidden, k2,
+                   preferred_element_type=jnp.float32)[..., 0] + b2[0]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def full_catalog_topk(
+    user_repr: jax.Array,  # [B, D] (u_feat_enhance_d1 or _d2)
+    item_table: jax.Array,  # [V, D]
+    head_params: dict,  # PredictHead params: fc1_kernel/fc1_bias/fc2_kernel/fc2_bias
+    k: int = 100,
+    tile: int = 8192,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (scores [B, k], item_ids [B, k]), best-first."""
+    d = user_repr.shape[1]
+    v = item_table.shape[0]
+    k1 = head_params["fc1_kernel"]
+    k_user, k_item = k1[:d], k1[d:]
+    b1, k2, b2 = (
+        head_params["fc1_bias"], head_params["fc2_kernel"],
+        head_params["fc2_bias"],
+    )
+    u_part = user_repr @ k_user  # [B, H]
+
+    n_tiles = -(-v // tile)
+    v_pad = n_tiles * tile
+    table = jnp.pad(item_table, ((0, v_pad - v), (0, 0)))
+
+    def body(carry, t_idx):
+        top_s, top_i = carry
+        start = t_idx * tile
+        items = jax.lax.dynamic_slice(table, (start, 0), (tile, d))
+        s = _score_tile(u_part, items, k_item, b1, k2, b2)  # [B, tile]
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ids = jnp.broadcast_to(ids, s.shape)
+        # mask catalog padding
+        s = jnp.where(ids < v, s, -jnp.inf)
+        cat_s = jnp.concatenate([top_s, s], axis=1)
+        cat_i = jnp.concatenate([top_i, ids], axis=1)
+        new_s, pos = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (new_s, new_i), None
+
+    b = user_repr.shape[0]
+    init = (
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    (top_s, top_i), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+    return top_s, top_i
+
+
+def user_representations(model, params, batch, train: bool = False):
+    """Pooled (u_d1, u_d2) user features for serving — runs the backbone
+    only (no candidate scoring). batch needs seq_d1/seq_d2 only."""
+    return model.apply({"params": params}, batch, train, features_only=True)
