@@ -169,6 +169,11 @@ class TrainConfig:
     # non-finite train loss — "restore" rolls back to the last checkpoint
     # once and continues, "halt" raises, "ignore" logs only.
     nan_policy: str = "restore"
+    # Sparse embedding updates (train/lazy.py): only touched table rows'
+    # params/moments move. ~3 GB/step less HBM traffic at the mybank vocab;
+    # lazy-Adam semantics (untouched rows' moments don't decay). Base
+    # trainer only (the DR schedule's second optimizer stays dense).
+    lazy_table_adam: bool = False
     eval_batch_drop_last: bool = True  # reference val loader drop_last=True (train_sr.py:455)
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -212,6 +217,7 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kernels", type=str, default="auto")
     p.add_argument("--profile_steps", type=int, default=0)
     p.add_argument("--bf16", type=_parse_bool, default=False)
+    p.add_argument("--lazy_table_adam", type=_parse_bool, default=False)
     p.add_argument("--resume", type=_parse_bool, default=False)
     p.add_argument("--subdomain", type=int, default=-1,
                    help=">=0: single-domain mode — keep only rows of this "
@@ -263,6 +269,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         profile_steps=a.profile_steps,
         resume=a.resume,
         subdomain=a.subdomain,
+        lazy_table_adam=a.lazy_table_adam,
         model=model,
         data=data,
     )

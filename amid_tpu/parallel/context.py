@@ -45,3 +45,26 @@ def spmd(axes: SpmdAxes):
         yield
     finally:
         _ctx.reset(token)
+
+
+# ---- lazy-rows redirection (train.lazy: sparse table updates) ----------
+# Holds (sorted_unique_ids [U], gathered_rows [U, D]); embedding lookups
+# inside the region index the gathered rows (searchsorted) instead of the
+# full table, so the table gradient is never materialized.
+
+_lazy: contextvars.ContextVar = contextvars.ContextVar(
+    "amid_lazy_rows", default=None
+)
+
+
+def current_lazy():
+    return _lazy.get()
+
+
+@contextlib.contextmanager
+def lazy_rows(uids, rows):
+    token = _lazy.set((uids, rows))
+    try:
+        yield
+    finally:
+        _lazy.reset(token)

@@ -33,6 +33,12 @@ def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
     shard's rows and the lookup becomes mask-and-psum over the model axis."""
     from amid_tpu.parallel import context
 
+    lazy = context.current_lazy()
+    if lazy is not None:
+        uids, rows = lazy
+        pos = jnp.searchsorted(uids, ids)
+        return jnp.take(rows, pos, axis=0)
+
     ctx = context.current()
     if ctx is not None:
         # Run the masked-psum path even for a single model shard: the table

@@ -30,7 +30,7 @@ REF_BASELINE_EXAMPLES_PER_S = 118.9
 
 
 def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
-              kernels: str = "auto") -> float:
+              kernels: str = "auto", lazy: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -64,8 +64,14 @@ def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
         "params"
     ]
     tx = optax.adam(5e-4)
-    state = TrainState(params, tx.init(params), None)
-    step = make_train_step(model, tx, dr_e_w=0.01)
+    if lazy:
+        from amid_tpu.train.lazy import init_lazy_state, make_lazy_train_step
+
+        state = init_lazy_state(params, tx)
+        step = make_lazy_train_step(model, tx, 5e-4, dr_e_w=0.01)
+    else:
+        state = TrainState(params, tx.init(params), None)
+        step = make_train_step(model, tx, dr_e_w=0.01)
 
     for i in range(warmup):
         state, m = step(state, batch, pools, pool_sizes, jax.random.fold_in(key, i))
@@ -200,6 +206,8 @@ if __name__ == "__main__":
     ap.add_argument("--seq_len", type=int, default=20,
                     help="20 = mybank flagship (run.sh); 150 = amazon shape")
     ap.add_argument("--kernels", default="auto")
+    ap.add_argument("--lazy", action="store_true",
+                    help="sparse table updates (train/lazy.py)")
     args = ap.parse_args()
     if args.baseline:
         eps = bench_baseline()
@@ -208,7 +216,7 @@ if __name__ == "__main__":
                           "vs_baseline": 1.0}))
     else:
         eps = bench_tpu(steps=args.steps, seq_len=args.seq_len,
-                        kernels=args.kernels)
+                        kernels=args.kernels, lazy=args.lazy)
         print(json.dumps({
             "metric": "train_examples_per_s",
             "value": round(eps, 1),
