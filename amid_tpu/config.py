@@ -161,6 +161,11 @@ class TrainConfig:
     log_every: int = 20  # log train loss every N steps (train_sr.py:218)
     checkpoint: bool = True  # real checkpointing (absent in reference, SURVEY §5)
     checkpoint_keep: int = 1
+    # Minimum epochs between checkpoint saves. Fetching the full TrainState
+    # off-device is expensive (~1.8 GB through the TPU tunnel at the mybank
+    # vocab); best-epoch METRICS come from logs, so frequent saves buy
+    # nothing. 0 = save on every improvement.
+    checkpoint_every: int = 10
     profile_steps: int = 0  # >0: capture a jax.profiler trace of the first N
     #                         steps of epoch 0 into model_dir/profile
     resume: bool = False  # restore latest checkpoint and continue

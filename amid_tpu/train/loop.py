@@ -250,9 +250,20 @@ def run_seed(
             )
 
         score = ev["mrr_d1"] + ev["mrr_d2"]
-        if ckpt is not None and score > best_score:
+        if (
+            ckpt is not None
+            and score > best_score
+            and (
+                epoch - (ckpt.latest_step() if ckpt.latest_step() is not None
+                         else -(10**9))
+                >= cfg.checkpoint_every
+                or epoch == cfg.epochs - 1
+            )
+        ):
             best_score = score
             ckpt.save(epoch, state)
+        elif score > best_score:
+            best_score = score
 
     best["examples_per_s"] = timer.examples_per_s
     best["start_epoch"] = float(start_epoch)
