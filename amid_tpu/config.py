@@ -223,6 +223,7 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile_steps", type=int, default=0)
     p.add_argument("--bf16", type=_parse_bool, default=False)
     p.add_argument("--lazy_table_adam", type=_parse_bool, default=False)
+    p.add_argument("--checkpoint", type=_parse_bool, default=True)
     p.add_argument("--resume", type=_parse_bool, default=False)
     p.add_argument("--subdomain", type=int, default=-1,
                    help=">=0: single-domain mode — keep only rows of this "
@@ -275,6 +276,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         resume=a.resume,
         subdomain=a.subdomain,
         lazy_table_adam=a.lazy_table_adam,
+        checkpoint=a.checkpoint,
         model=model,
         data=data,
     )

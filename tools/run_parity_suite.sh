@@ -8,10 +8,10 @@ cd "$(dirname "$0")/.."
 timeout 14400 python train_sr.py --overlap_ratio 0.25 -ds amazon \
   -dm cloth_sport --model sasrec --overlap True --isItC True --ts2 0.4 \
   --neg_nums 199 --seq_len 150 --epoch 50 --seeds 3 \
-  -md results/cloth_sport_base/
+  --checkpoint False -md results/cloth_sport_base/
 
 # 3) mybank loan_fund DR (canonical DR schedule; loan_fund ships _DR splits)
 timeout 14400 python train_sr_dr.py --overlap_ratio 0.25 -ds mybank \
   -dm loan_fund --model sasrec --overlap True --isItC True --ts2 0.4 \
   --neg_nums 999 --lr2 0.01 --dr_e_w 0.01 --isDR True --seq_len 20 \
-  --epoch 50 --seeds 3 -md results/loan_fund_dr/
+  --epoch 50 --seeds 3 --checkpoint False -md results/loan_fund_dr/
