@@ -225,6 +225,45 @@ def bench_embedding(report):
         )
 
 
+def bench_scatter(report):
+    """Table-update primitives: the train step's scatter-add (grad transpose)
+    and the lazy path's unique-row scatter-set, vs full-table traffic."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    V, D, N = 894820, 128, 10752
+    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, V, N, dtype=np.int32))
+    uniq = jnp.asarray(
+        np.unique(rng.integers(0, V, N).astype(np.int32))[:8192]
+    )
+    upd = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+
+    def scatter_add(table, ids, upd, salt):
+        i = jnp.roll(ids, salt.astype(jnp.int32))
+        return table.at[i].add(upd)
+
+    def scatter_add_sorted_unique(table, ids, upd, salt):
+        return table.at[uniq].add(upd[: uniq.shape[0]] + 0 * salt)
+
+    def full_table(table, ids, upd, salt):
+        return table * (1.0 + 1e-9 * salt)
+
+    for name, f, bytes_ in (
+        (f"scatter-add {N} dup rows", scatter_add, 3 * N * D * 4),
+        (f"scatter-add {8192} sorted-unique rows", scatter_add_sorted_unique,
+         3 * 8192 * D * 4),
+        ("full-table elementwise (3.5 GB r+w)", full_table, 2 * V * D * 4),
+    ):
+        try:
+            dt = device_time(f, (table, ids, upd), iters=10)
+        except Exception as e:  # noqa: BLE001
+            report(f"scatter {name}: FAILED {type(e).__name__}")
+            continue
+        report(f"scatter[{name}]: {dt*1e6:8.0f} us {bytes_/dt/1e9:6.0f} GB/s")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernel", default="all")
@@ -243,3 +282,5 @@ if __name__ == "__main__":
         bench_scoring(report)
     if args.kernel in ("all", "embedding"):
         bench_embedding(report)
+    if args.kernel in ("all", "scatter"):
+        bench_scatter(report)
