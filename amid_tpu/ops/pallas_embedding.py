@@ -51,7 +51,7 @@ def _gather_pallas(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pad // _TN,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table in HBM
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # table in HBM
             out_specs=pl.BlockSpec((_TN, d), lambda i, ids: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SemaphoreType.DMA((_TN,))],

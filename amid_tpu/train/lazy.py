@@ -23,6 +23,7 @@ is tested exactly (test_lazy_adam).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -72,7 +73,11 @@ def make_lazy_train_step(
 ) -> Callable:
     is_dr = dr_e_w is not None
 
-    @jax.jit
+    # Donating the state lets XLA update the table/moment buffers in place:
+    # without it every step pays full-buffer copies before the scatters
+    # (measured 12.5 -> 8.7 ms/step at the flagship config, tools/exp
+    # notes in docs/PERF.md). The callers all thread state functionally.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, pools, pool_sizes, key):
         params = state.params
         table = params[TABLE_KEY]
@@ -137,6 +142,13 @@ def make_lazy_train_step(
         mhat = mu_new / (1.0 - b1**c)
         vhat = nu_new / (1.0 - b2**c)
         upd = lr * mhat / (jnp.sqrt(vhat) + eps)
+        # XLA's scatter on a DONATED buffer updates in place and, fused into
+        # this step, costs far less than any standalone microbench suggests
+        # (~100 ns/row vs 380 standalone). A per-row-DMA pallas scatter
+        # (ops/pallas_scatter.py) and a fused [V, 3, D] param+mu+nu layout
+        # were both built and measured SLOWER in situ (8.7 vs 15.7 ms/step
+        # — the fused layout hits XLA's slow 3-D gather path at ~250 ns/row
+        # vs 34 for 2-D); see docs/PERF.md "scatter study". Keep XLA + drop.
         table_new = table.at[uids].add(-upd, mode="drop")
         mu_t = opt.mu.at[uids].set(mu_new, mode="drop")
         nu_t = opt.nu.at[uids].set(nu_new, mode="drop")

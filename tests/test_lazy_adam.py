@@ -68,6 +68,9 @@ def test_lazy_first_step_matches_dense(rng):
 
 def test_lazy_untouched_rows_stay_fixed(rng):
     cfg, model, batch, params, pools, pool_sizes = _setup(rng)
+    # snapshot before stepping: the step donates its state, so the params
+    # buffers are dead afterwards
+    before = np.asarray(params["item_embedding"]).copy()
     lazy_state = init_lazy_state(params, optax.adam(1e-3))
     lazy_step = make_lazy_train_step(model, optax.adam(1e-3), 1e-3)
     out, _ = lazy_step(lazy_state, batch, pools, pool_sizes, jax.random.PRNGKey(1))
@@ -75,8 +78,6 @@ def test_lazy_untouched_rows_stay_fixed(rng):
     touched = set(np.asarray(batch["target"]).tolist())
     for k in ("seq_d1", "seq_d2"):
         touched |= set(np.asarray(batch[k]).ravel().tolist())
-    # negatives were sampled on device — derive them from changed rows
-    before = np.asarray(params["item_embedding"])
     after = np.asarray(out.params["item_embedding"])
     changed = set(np.where(np.any(before != after, axis=1))[0].tolist())
     # every changed row was either an input id or a sampled negative (valid id)

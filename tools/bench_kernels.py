@@ -225,41 +225,77 @@ def bench_embedding(report):
         )
 
 
-def bench_scatter(report):
-    """Table-update primitives: the train step's scatter-add (grad transpose)
-    and the lazy path's unique-row scatter-set, vs full-table traffic."""
+def device_time_carry(step, init, probe, iters=10):
+    """Like device_time, but the op maps carry->carry (table-update chains):
+    iteration i+1 consumes iteration i's output buffer, so a donated
+    (input-output-aliased) kernel is timed without a phantom full-table copy,
+    and the per-iteration probe reads a few updated rows (cheap) instead of
+    summing the whole table (a 3.5 GB read that would swamp the scatter)."""
     import jax
     import jax.numpy as jnp
 
+    @jax.jit
+    def loop(init):
+        def body(c, _):
+            c2 = step(c)
+            return c2, probe(c2)
+
+        _, probes = jax.lax.scan(body, init, None, length=iters)
+        return probes
+
+    compiled = loop.lower(init).compile()
+    np.asarray(compiled(init))  # warmup; host fetch forces real completion
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(compiled(init))
+        times.append((time.perf_counter() - t0) / iters)
+    return min(times)
+
+
+def bench_scatter(report):
+    """Table-update primitives: the train step's scatter-add (grad transpose),
+    the lazy path's unique-row scatter (XLA vs the per-row-DMA pallas
+    kernel), vs full-table traffic. NB: standalone scatter numbers here do
+    NOT predict in-step cost — XLA's scatter fused into the donated lazy
+    train step runs ~3x faster than standalone (docs/PERF.md scatter
+    study); dispatch decisions were made on in-situ step timings."""
+    import jax.numpy as jnp
+
+    from amid_tpu.ops.pallas_scatter import scatter_set_unique_pallas
+
     rng = np.random.default_rng(0)
-    V, D, N = 894820, 128, 10752
+    V, D, N, U = 894820, 128, 10752, 8192
     table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
     ids = jnp.asarray(rng.integers(0, V, N, dtype=np.int32))
-    uniq = jnp.asarray(
-        np.unique(rng.integers(0, V, N).astype(np.int32))[:8192]
+    uniq = jnp.asarray(np.unique(rng.integers(0, V, N).astype(np.int32))[:U])
+    upd = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32) * 1e-6)
+
+    def probe(c):
+        t, _ = c
+        return jnp.sum(jnp.take(t, uniq[:8], axis=0))
+
+    def mk(update):
+        return lambda c: (update(c[0], c[1]), c[1] + 1)
+
+    cases = (
+        (f"scatter-add {N} dup rows", 3 * N * D * 4,
+         lambda t, s: t.at[ids].add(upd * (1.0 + 1e-9 * s))),
+        (f"xla scatter-add {U} sorted-unique rows", 3 * U * D * 4,
+         lambda t, s: t.at[uniq].add(upd[:U] * (1.0 + 1e-9 * s))),
+        (f"xla scatter-set {U} sorted-unique rows", 2 * U * D * 4,
+         lambda t, s: t.at[uniq].set(upd[:U] * (1.0 + 1e-9 * s))),
+        (f"pallas scatter-set {U} sorted-unique rows", 2 * U * D * 4,
+         lambda t, s: scatter_set_unique_pallas(
+             t, uniq, upd[:U] * (1.0 + 1e-9 * s))),
+        ("full-table elementwise (3.5 GB r+w)", 2 * V * D * 4,
+         lambda t, s: t * (1.0 + 1e-9 * s)),
     )
-    upd = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
-
-    def scatter_add(table, ids, upd, salt):
-        i = jnp.roll(ids, salt.astype(jnp.int32))
-        return table.at[i].add(upd)
-
-    def scatter_add_sorted_unique(table, ids, upd, salt):
-        return table.at[uniq].add(upd[: uniq.shape[0]] + 0 * salt)
-
-    def full_table(table, ids, upd, salt):
-        return table * (1.0 + 1e-9 * salt)
-
-    for name, f, bytes_ in (
-        (f"scatter-add {N} dup rows", scatter_add, 3 * N * D * 4),
-        (f"scatter-add {8192} sorted-unique rows", scatter_add_sorted_unique,
-         3 * 8192 * D * 4),
-        ("full-table elementwise (3.5 GB r+w)", full_table, 2 * V * D * 4),
-    ):
+    for name, bytes_, update in cases:
         try:
-            dt = device_time(f, (table, ids, upd), iters=10)
+            dt = device_time_carry(mk(update), (table, jnp.float32(0)), probe)
         except Exception as e:  # noqa: BLE001
-            report(f"scatter {name}: FAILED {type(e).__name__}")
+            report(f"scatter {name}: FAILED {type(e).__name__}: {e}")
             continue
         report(f"scatter[{name}]: {dt*1e6:8.0f} us {bytes_/dt/1e9:6.0f} GB/s")
 
