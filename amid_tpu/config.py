@@ -176,8 +176,8 @@ class TrainConfig:
     nan_policy: str = "restore"
     # Sparse embedding updates (train/lazy.py): only touched table rows'
     # params/moments move. ~3 GB/step less HBM traffic at the mybank vocab;
-    # lazy-Adam semantics (untouched rows' moments don't decay). Base
-    # trainer only (the DR schedule's second optimizer stays dense).
+    # lazy-Adam semantics (untouched rows' moments don't decay). Covers both
+    # DR phases (optimizer2 gets its own per-row moment set).
     lazy_table_adam: bool = False
     eval_batch_drop_last: bool = True  # reference val loader drop_last=True (train_sr.py:455)
     model: ModelConfig = field(default_factory=ModelConfig)

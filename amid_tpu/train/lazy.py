@@ -15,6 +15,14 @@ materialized and only touched rows' parameters/moments move:
 3. the [U, D] row gradient drives a per-row Adam update scattered back with
    mode='drop' (sentinel rows vanish); dense params use optax.adam as usual.
 
+Both DR phases are covered: `make_lazy_train_step` is the phase-A step
+(masked BCE + dr_e_w * dr_e when DR, train_sr_dr.py:191-229) updating
+optimizer-1 moments, `make_lazy_dr_r_step` is the phase-B step
+(imputation/propensity training with optimizer2, train_sr_dr.py:363-403)
+updating a second, independent set of table moments (the reference keeps
+two full torch Adam states over all params; here each is dense-params +
+per-row table moments).
+
 Semantics: identical to dense Adam on the first touch of each row; diverges
 only in that an untouched row's moments do not decay that step (standard
 lazy-Adam behavior, cf. torch.optim.SparseAdam). The single-step equivalence
@@ -45,16 +53,25 @@ class LazyTableState(NamedTuple):
     count: jax.Array  # scalar int32 (global step, for bias correction)
 
 
-def init_lazy_state(params, tx_dense: optax.GradientTransformation) -> TrainState:
-    table = params[TABLE_KEY]
-    dense = {k: v for k, v in params.items() if k != TABLE_KEY}
-    opt = LazyTableState(
-        dense_opt=tx_dense.init(dense),
+def _init_slot(table, dense, tx):
+    return LazyTableState(
+        dense_opt=tx.init(dense),
         mu=jnp.zeros_like(table),
         nu=jnp.zeros_like(table),
         count=jnp.zeros((), jnp.int32),
     )
-    return TrainState(params, opt, None)
+
+
+def init_lazy_state(
+    params,
+    tx_dense: optax.GradientTransformation,
+    tx2_dense: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    table = params[TABLE_KEY]
+    dense = {k: v for k, v in params.items() if k != TABLE_KEY}
+    opt = _init_slot(table, dense, tx_dense)
+    opt2 = _init_slot(table, dense, tx2_dense) if tx2_dense is not None else None
+    return TrainState(params, opt, opt2)
 
 
 def _unique_budget(batch_size: int, seq_len: int, num_neg: int) -> int:
@@ -62,27 +79,30 @@ def _unique_budget(batch_size: int, seq_len: int, num_neg: int) -> int:
     return -(-total // 1024) * 1024
 
 
-def make_lazy_train_step(
+def _make_lazy_step(
     model,
     tx_dense: optax.GradientTransformation,
     lr: float,
-    dr_e_w: Optional[float] = None,
-    b1: float = 0.9,
-    b2: float = 0.999,
-    eps: float = 1e-8,
+    loss_builder: Callable,
+    slot: int,
+    b1: float,
+    b2: float,
+    eps: float,
 ) -> Callable:
-    is_dr = dr_e_w is not None
+    """Shared lazy-step skeleton. loss_builder(out, labels, batch) ->
+    (loss, metrics); slot selects which optimizer state (1 = opt_state,
+    2 = opt_state2) is read and written — the other passes through."""
 
     # Donating the state lets XLA update the table/moment buffers in place:
     # without it every step pays full-buffer copies before the scatters
-    # (measured 12.5 -> 8.7 ms/step at the flagship config, tools/exp
-    # notes in docs/PERF.md). The callers all thread state functionally.
+    # (measured 12.5 -> 8.7 ms/step at the flagship config; docs/PERF.md
+    # "scatter study"). The callers all thread state functionally.
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, pools, pool_sizes, key):
         params = state.params
         table = params[TABLE_KEY]
         v = table.shape[0]
-        opt: LazyTableState = state.opt_state
+        opt: LazyTableState = state.opt_state if slot == 1 else state.opt_state2
 
         k_neg, k_drop = jax.random.split(key)
         neg = sample_negatives(
@@ -112,17 +132,7 @@ def make_lazy_train_step(
                     {"params": full}, _model_batch(batch, neg),
                     train=True, rngs={"dropout": k_drop},
                 )
-            loss_cls = losses.masked_bce_loss(
-                out["logits_d1"], out["logits_d2"], labels, batch["domain_id"]
-            )
-            metrics = {"loss_cls": loss_cls}
-            loss = loss_cls
-            if is_dr:
-                dr_e = losses.dr_e_loss(out, labels, batch["domain_id"])
-                loss = loss_cls + dr_e * dr_e_w
-                metrics["loss_dr_e"] = dr_e
-            metrics["loss"] = loss
-            return loss, metrics
+            return loss_builder(out, labels, batch)
 
         (_, metrics), (g_dense, g_rows) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
@@ -155,9 +165,61 @@ def make_lazy_train_step(
 
         params_new = dict(dense_new)
         params_new[TABLE_KEY] = table_new
+        opt_new = LazyTableState(dense_opt, mu_t, nu_t, count)
         new_state = TrainState(
-            params_new, LazyTableState(dense_opt, mu_t, nu_t, count), None
+            params_new,
+            opt_new if slot == 1 else state.opt_state,
+            state.opt_state2 if slot == 1 else opt_new,
         )
         return new_state, metrics
 
     return step
+
+
+def make_lazy_train_step(
+    model,
+    tx_dense: optax.GradientTransformation,
+    lr: float,
+    dr_e_w: Optional[float] = None,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> Callable:
+    """Phase-A step (masked BCE, + dr_e_w * dr_e when DR) on optimizer 1."""
+    is_dr = dr_e_w is not None
+
+    def loss_builder(out, labels, batch):
+        loss_cls = losses.masked_bce_loss(
+            out["logits_d1"], out["logits_d2"], labels, batch["domain_id"]
+        )
+        metrics = {"loss_cls": loss_cls}
+        loss = loss_cls
+        if is_dr:
+            dr_e = losses.dr_e_loss(out, labels, batch["domain_id"])
+            loss = loss_cls + dr_e * dr_e_w
+            metrics["loss_dr_e"] = dr_e
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return _make_lazy_step(model, tx_dense, lr, loss_builder, 1, b1, b2, eps)
+
+
+def make_lazy_dr_r_step(
+    model,
+    tx2_dense: optax.GradientTransformation,
+    lr2: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> Callable:
+    """Phase-B step (train_sr_dr.py:363-403): imputation/propensity heads on
+    observed+unobserved rows, optimizer2 — with lazy table updates against
+    the second per-row moment set."""
+
+    def loss_builder(out, labels, batch):
+        loss = losses.dr_r_loss(
+            out, labels, batch["domain_id"], batch["ob_label"]
+        )
+        return loss, {"loss_dr_r": loss}
+
+    return _make_lazy_step(model, tx2_dense, lr2, loss_builder, 2, b1, b2, eps)

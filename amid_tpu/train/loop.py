@@ -123,20 +123,24 @@ def run_seed(
     is_dr = cfg.model.is_dr
     tx2 = optax.adam(cfg.lr * cfg.lr2) if is_dr else None
 
-    lazy = cfg.lazy_table_adam and not is_dr
-    if cfg.lazy_table_adam and is_dr:
-        log.info("lazy_table_adam ignored: the DR schedule's second "
-                 "optimizer requires the dense path")
+    lazy = cfg.lazy_table_adam
     if lazy:
-        from amid_tpu.train.lazy import init_lazy_state, make_lazy_train_step
+        from amid_tpu.train.lazy import (
+            init_lazy_state, make_lazy_dr_r_step, make_lazy_train_step,
+        )
 
         key = jax.random.PRNGKey(seed)
         sample = _sample_batch(train_ds, cfg.model.batch_size)
         params = model.init(
             {"params": key, "dropout": key}, sample, train=False
         )["params"]
-        state = init_lazy_state(params, tx)
-        train_step = make_lazy_train_step(model, tx, cfg.lr)
+        state = init_lazy_state(params, tx, tx2)
+        train_step = make_lazy_train_step(
+            model, tx, cfg.lr, dr_e_w=cfg.dr_e_w if is_dr else None
+        )
+        dr_step = (
+            make_lazy_dr_r_step(model, tx2, cfg.lr * cfg.lr2) if is_dr else None
+        )
     else:
         state = init_state(
             model, cfg, tx, tx2, seed=seed,
@@ -145,10 +149,9 @@ def run_seed(
         train_step = make_train_step(
             model, tx, dr_e_w=cfg.dr_e_w if is_dr else None
         )
+        dr_step = make_dr_r_step(model, tx2) if is_dr else None
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     log.info(f"seed {seed}: params={n_params:,}")
-
-    dr_step = make_dr_r_step(model, tx2) if is_dr else None
     eval_step = make_eval_step(model, cfg.data.neg_nums)
 
     pools, pool_sizes = _device_pools(train_ds)

@@ -30,7 +30,8 @@ REF_BASELINE_EXAMPLES_PER_S = 118.9
 
 
 def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
-              kernels: str = "auto", lazy: bool = False) -> float:
+              kernels: str = "auto", lazy: bool = False,
+              phase_b: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -64,25 +65,34 @@ def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
         "params"
     ]
     tx = optax.adam(5e-4)
+    tx2 = optax.adam(5e-4 * 0.01)  # run.sh lr2=0.01 (relative)
     if lazy:
-        from amid_tpu.train.lazy import init_lazy_state, make_lazy_train_step
+        from amid_tpu.train.lazy import (
+            init_lazy_state, make_lazy_dr_r_step, make_lazy_train_step,
+        )
 
-        state = init_lazy_state(params, tx)
-        step = make_lazy_train_step(model, tx, 5e-4, dr_e_w=0.01)
+        state = init_lazy_state(params, tx, tx2 if phase_b else None)
+        step = (make_lazy_dr_r_step(model, tx2, 5e-4 * 0.01) if phase_b
+                else make_lazy_train_step(model, tx, 5e-4, dr_e_w=0.01))
     else:
-        state = TrainState(params, tx.init(params), None)
-        step = make_train_step(model, tx, dr_e_w=0.01)
+        from amid_tpu.train.steps import make_dr_r_step
+
+        state = TrainState(params, tx.init(params),
+                           tx2.init(params) if phase_b else None)
+        step = (make_dr_r_step(model, tx2) if phase_b
+                else make_train_step(model, tx, dr_e_w=0.01))
+    loss_key = "loss_dr_r" if phase_b else "loss"
 
     for i in range(warmup):
         state, m = step(state, batch, pools, pool_sizes, jax.random.fold_in(key, i))
-    float(m["loss"])  # host fetch: the only true sync through the TPU tunnel
+    float(m[loss_key])  # host fetch: the only true sync through the TPU tunnel
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = step(
             state, batch, pools, pool_sizes, jax.random.fold_in(key, 100 + i)
         )
-    float(m["loss"])  # waits on the full dependency chain of all steps
+    float(m[loss_key])  # waits on the full dependency chain of all steps
     dt = time.perf_counter() - t0
     return steps * cfg.batch_size / dt
 
@@ -206,6 +216,8 @@ if __name__ == "__main__":
     ap.add_argument("--seq_len", type=int, default=20,
                     help="20 = mybank flagship (run.sh); 150 = amazon shape")
     ap.add_argument("--kernels", default="auto")
+    ap.add_argument("--phase_b", action="store_true",
+                    help="measure the DR phase-B (dr_r/optimizer2) step")
     ap.add_argument("--lazy", action="store_true",
                     help="sparse table updates (train/lazy.py)")
     args = ap.parse_args()
@@ -216,7 +228,8 @@ if __name__ == "__main__":
                           "vs_baseline": 1.0}))
     else:
         eps = bench_tpu(steps=args.steps, seq_len=args.seq_len,
-                        kernels=args.kernels, lazy=args.lazy)
+                        kernels=args.kernels, lazy=args.lazy,
+                        phase_b=args.phase_b)
         print(json.dumps({
             "metric": "train_examples_per_s",
             "value": round(eps, 1),

@@ -88,3 +88,59 @@ def test_lazy_untouched_rows_stay_fixed(rng):
     # zeroing — the untouched set is v minus changed; sanity: most of the
     # table is untouched
     assert len(changed) < v // 2
+
+
+def test_lazy_dr_r_step_matches_dense(rng):
+    """DR phase-B: lazy per-row optimizer-2 update equals the dense dr_r
+    step on its first step (zero moments)."""
+    from amid_tpu.train.lazy import make_lazy_dr_r_step
+    from amid_tpu.train.steps import make_dr_r_step
+
+    cfg = ModelConfig(
+        backbone="gru4rec", emb_dim=16, hid_dim=8, seq_len=5, batch_size=8,
+        item_length=64, user_length=64, kernels="xla", is_dr=True,
+    )
+    model = build_model(cfg)
+    v = cfg.item_table_size
+    batch = {
+        "target": jnp.asarray(rng.integers(0, v, 8, dtype=np.int32)),
+        "seq_d1": jnp.asarray(rng.integers(0, v, (8, 5), dtype=np.int32)),
+        "seq_d2": jnp.asarray(rng.integers(0, v, (8, 5), dtype=np.int32)),
+        "domain_id": jnp.asarray(rng.integers(0, 2, 8, dtype=np.int32)),
+        "reject": jnp.full((8, 2), v, jnp.int32),
+        "reject_counts": jnp.zeros(8, jnp.int32),
+        "ob_label": jnp.asarray(rng.integers(0, 2, 8, dtype=np.int32)),
+        "neg_samples": jnp.zeros((8, 1), jnp.int32),
+    }
+    pools = jnp.tile(jnp.arange(v, dtype=jnp.int32)[None], (2, 1))
+    pool_sizes = jnp.array([v, v], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key}, batch, train=False)[
+        "params"
+    ]
+    lr2, skey = 2e-3, jax.random.PRNGKey(9)
+
+    params_copy = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    tx, tx2 = optax.adam(1e-3), optax.adam(lr2)
+    dense_state = TrainState(params_copy, tx.init(params_copy),
+                             tx2.init(params_copy))
+    dense_out, md = make_dr_r_step(model, tx2)(
+        dense_state, batch, pools, pool_sizes, skey
+    )
+
+    lazy_state = init_lazy_state(params, optax.adam(1e-3), optax.adam(lr2))
+    lazy_out, ml = make_lazy_dr_r_step(model, optax.adam(lr2), lr2)(
+        lazy_state, batch, pools, pool_sizes, skey
+    )
+
+    assert abs(float(md["loss_dr_r"]) - float(ml["loss_dr_r"])) < 1e-6
+    for name in dense_out.params:
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(lazy_out.params[name])[0]),
+            np.asarray(jax.tree_util.tree_leaves(dense_out.params[name])[0]),
+            rtol=1e-5, atol=1e-7, err_msg=f"param {name}",
+        )
+    # optimizer-1 state untouched by the phase-B step (init count is 0;
+    # can't read lazy_state post-step — the step donates its buffers)
+    assert int(lazy_out.opt_state.count) == 0
+    assert int(lazy_out.opt_state2.count) == 1
