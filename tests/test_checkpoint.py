@@ -71,3 +71,43 @@ def test_resume_continues_training(tmp_path, rng):
     # first run saved epoch 0; resume must start at 1 (step 0 is falsy —
     # regression guard for the `latest_step() or -1` bug)
     assert best["start_epoch"] == 1.0
+
+
+def test_lazy_state_roundtrip(tmp_path, rng):
+    """LazyTableState (incl. the DR second moment slot) survives orbax
+    save/restore — NamedTuple opt states restore into the same structure."""
+    import optax
+
+    from amid_tpu.train.lazy import init_lazy_state
+
+    params = {
+        "item_embedding": jnp.asarray(
+            rng.normal(size=(16, 4)).astype(np.float32)
+        ),
+        "w": jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32)),
+    }
+    state = init_lazy_state(params, optax.adam(1e-3), optax.adam(1e-4))
+    state = state._replace(
+        opt_state=state.opt_state._replace(
+            mu=state.opt_state.mu + 1.5,
+            count=jnp.asarray(7, jnp.int32),
+        )
+    )
+    mgr = CheckpointManager(str(tmp_path / "lz"), keep=1)
+    mgr.save(5, state)
+
+    blank = init_lazy_state(
+        {k: v * 0 for k, v in params.items()}, optax.adam(1e-3),
+        optax.adam(1e-4),
+    )
+    restored = mgr.restore(blank)
+    np.testing.assert_array_equal(
+        np.asarray(restored.opt_state.mu), np.asarray(state.opt_state.mu)
+    )
+    assert int(restored.opt_state.count) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["item_embedding"]),
+        np.asarray(state.params["item_embedding"]),
+    )
+    assert restored.opt_state2 is not None
+    mgr.close()
