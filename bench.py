@@ -31,7 +31,7 @@ REF_BASELINE_EXAMPLES_PER_S = 118.9
 
 def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
               kernels: str = "auto", lazy: bool = False,
-              phase_b: bool = False) -> float:
+              phase_b: bool = False, bf16: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -42,6 +42,7 @@ def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
 
     cfg = _flagship_cfg(item_length=447410, batch_size=256, seq_len=seq_len)
     cfg.kernels = kernels
+    cfg.use_bf16 = bf16
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _make_batch(cfg, num_neg=1, rng=rng)
@@ -216,6 +217,8 @@ if __name__ == "__main__":
     ap.add_argument("--seq_len", type=int, default=20,
                     help="20 = mybank flagship (run.sh); 150 = amazon shape")
     ap.add_argument("--kernels", default="auto")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 matmul mode (params stay fp32)")
     ap.add_argument("--phase_b", action="store_true",
                     help="measure the DR phase-B (dr_r/optimizer2) step")
     ap.add_argument("--lazy", action="store_true",
@@ -229,7 +232,7 @@ if __name__ == "__main__":
     else:
         eps = bench_tpu(steps=args.steps, seq_len=args.seq_len,
                         kernels=args.kernels, lazy=args.lazy,
-                        phase_b=args.phase_b)
+                        phase_b=args.phase_b, bf16=args.bf16)
         print(json.dumps({
             "metric": "train_examples_per_s",
             "value": round(eps, 1),
