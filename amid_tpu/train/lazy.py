@@ -88,10 +88,31 @@ def _make_lazy_step(
     b1: float,
     b2: float,
     eps: float,
+    kernels: str = "xla",
 ) -> Callable:
     """Shared lazy-step skeleton. loss_builder(out, labels, batch) ->
     (loss, metrics); slot selects which optimizer state (1 = opt_state,
     2 = opt_state2) is read and written — the other passes through."""
+    if kernels == "pallas":
+        from amid_tpu.ops.pallas_scatter import scatter_set_unique_pallas
+
+        # uids are sorted-unique (sentinel tail) => the scatters below are
+        # duplicate-free and the in-place add equals a set of the updated
+        # gathered rows. The per-row-DMA kernel runs at ~26 ns/row vs XLA's
+        # ~77 (scatter cannot be proven unique by XLA); in situ this is
+        # 7.0 -> 5.4 ms/step at the flagship config (docs/PERF.md scatter
+        # study, RTT-corrected 2026-08-18).
+        def scatter_add_neg(table, uids, rows, upd):
+            return scatter_set_unique_pallas(table, uids, rows - upd)
+
+        def scatter_set(arr, uids, vals):
+            return scatter_set_unique_pallas(arr, uids, vals)
+    else:
+        def scatter_add_neg(table, uids, rows, upd):
+            return table.at[uids].add(-upd, mode="drop")
+
+        def scatter_set(arr, uids, vals):
+            return arr.at[uids].set(vals, mode="drop")
 
     # Donating the state lets XLA update the table/moment buffers in place:
     # without it every step pays full-buffer copies before the scatters
@@ -152,16 +173,9 @@ def _make_lazy_step(
         mhat = mu_new / (1.0 - b1**c)
         vhat = nu_new / (1.0 - b2**c)
         upd = lr * mhat / (jnp.sqrt(vhat) + eps)
-        # XLA's scatter on a DONATED buffer updates in place and, fused into
-        # this step, costs far less than any standalone microbench suggests
-        # (~100 ns/row vs 380 standalone). A per-row-DMA pallas scatter
-        # (ops/pallas_scatter.py) and a fused [V, 3, D] param+mu+nu layout
-        # were both built and measured SLOWER in situ (8.7 vs 15.7 ms/step
-        # — the fused layout hits XLA's slow 3-D gather path at ~250 ns/row
-        # vs 34 for 2-D); see docs/PERF.md "scatter study". Keep XLA + drop.
-        table_new = table.at[uids].add(-upd, mode="drop")
-        mu_t = opt.mu.at[uids].set(mu_new, mode="drop")
-        nu_t = opt.nu.at[uids].set(nu_new, mode="drop")
+        table_new = scatter_add_neg(table, uids, rows, upd)
+        mu_t = scatter_set(opt.mu, uids, mu_new)
+        nu_t = scatter_set(opt.nu, uids, nu_new)
 
         params_new = dict(dense_new)
         params_new[TABLE_KEY] = table_new
@@ -184,6 +198,7 @@ def make_lazy_train_step(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    kernels: str = "xla",
 ) -> Callable:
     """Phase-A step (masked BCE, + dr_e_w * dr_e when DR) on optimizer 1."""
     is_dr = dr_e_w is not None
@@ -201,7 +216,8 @@ def make_lazy_train_step(
         metrics["loss"] = loss
         return loss, metrics
 
-    return _make_lazy_step(model, tx_dense, lr, loss_builder, 1, b1, b2, eps)
+    return _make_lazy_step(model, tx_dense, lr, loss_builder, 1, b1, b2, eps,
+                           kernels)
 
 
 def make_lazy_dr_r_step(
@@ -211,6 +227,7 @@ def make_lazy_dr_r_step(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    kernels: str = "xla",
 ) -> Callable:
     """Phase-B step (train_sr_dr.py:363-403): imputation/propensity heads on
     observed+unobserved rows, optimizer2 — with lazy table updates against
@@ -222,4 +239,5 @@ def make_lazy_dr_r_step(
         )
         return loss, {"loss_dr_r": loss}
 
-    return _make_lazy_step(model, tx2_dense, lr2, loss_builder, 2, b1, b2, eps)
+    return _make_lazy_step(model, tx2_dense, lr2, loss_builder, 2, b1, b2, eps,
+                           kernels)

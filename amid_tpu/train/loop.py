@@ -153,10 +153,14 @@ def run_seed(
         )["params"]
         state = init_lazy_state(params, tx, tx2)
         train_step = make_lazy_train_step(
-            model, tx, cfg.lr, dr_e_w=cfg.dr_e_w if is_dr else None
+            model, tx, cfg.lr, dr_e_w=cfg.dr_e_w if is_dr else None,
+            kernels=model.cfg.kernels,
         )
         dr_step = (
-            make_lazy_dr_r_step(model, tx2, cfg.lr * cfg.lr2) if is_dr else None
+            make_lazy_dr_r_step(
+                model, tx2, cfg.lr * cfg.lr2, kernels=model.cfg.kernels
+            )
+            if is_dr else None
         )
     else:
         state = init_state(

@@ -29,7 +29,7 @@ import numpy as np
 REF_BASELINE_EXAMPLES_PER_S = 118.9
 
 
-def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
+def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
               kernels: str = "auto", lazy: bool = False,
               phase_b: bool = False, bf16: bool = False) -> float:
     import jax
@@ -73,8 +73,13 @@ def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
         )
 
         state = init_lazy_state(params, tx, tx2 if phase_b else None)
-        step = (make_lazy_dr_r_step(model, tx2, 5e-4 * 0.01) if phase_b
-                else make_lazy_train_step(model, tx, 5e-4, dr_e_w=0.01))
+        step = (
+            make_lazy_dr_r_step(model, tx2, 5e-4 * 0.01,
+                                kernels=model.cfg.kernels)
+            if phase_b
+            else make_lazy_train_step(model, tx, 5e-4, dr_e_w=0.01,
+                                      kernels=model.cfg.kernels)
+        )
     else:
         from amid_tpu.train.steps import make_dr_r_step
 
@@ -88,13 +93,19 @@ def bench_tpu(steps: int = 20, warmup: int = 3, seq_len: int = 20,
         state, m = step(state, batch, pools, pool_sizes, jax.random.fold_in(key, i))
     float(m[loss_key])  # host fetch: the only true sync through the TPU tunnel
 
+    # one no-op fetch measures the tunnel round-trip floor (~24 ms) so the
+    # final sync's fixed cost doesn't bias the per-step time
+    t0 = time.perf_counter()
+    float(m[loss_key])
+    rtt = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     for i in range(steps):
         state, m = step(
             state, batch, pools, pool_sizes, jax.random.fold_in(key, 100 + i)
         )
     float(m[loss_key])  # waits on the full dependency chain of all steps
-    dt = time.perf_counter() - t0
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     return steps * cfg.batch_size / dt
 
 
@@ -213,7 +224,7 @@ def bench_baseline(steps: int = 3) -> float:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", action="store_true")
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--seq_len", type=int, default=20,
                     help="20 = mybank flagship (run.sh); 150 = amazon shape")
     ap.add_argument("--kernels", default="auto")

@@ -144,3 +144,35 @@ def test_lazy_dr_r_step_matches_dense(rng):
     # can't read lazy_state post-step — the step donates its buffers)
     assert int(lazy_out.opt_state.count) == 0
     assert int(lazy_out.opt_state2.count) == 1
+
+
+def test_lazy_pallas_scatter_matches_xla(rng):
+    """kernels='pallas' routes the three table/moment scatters through the
+    unique-row DMA kernel; step output must match the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, model, batch, params, pools, pool_sizes = _setup(rng)
+    lr, key = 1e-3, jax.random.PRNGKey(7)
+
+    params_x = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    xla_out, _ = make_lazy_train_step(model, optax.adam(lr), lr)(
+        init_lazy_state(params_x, optax.adam(lr)), batch, pools, pool_sizes, key
+    )
+    with pltpu.force_tpu_interpret_mode():
+        pl_out, _ = make_lazy_train_step(
+            model, optax.adam(lr), lr, kernels="pallas"
+        )(init_lazy_state(params, optax.adam(lr)), batch, pools, pool_sizes, key)
+
+    np.testing.assert_allclose(
+        np.asarray(pl_out.params["item_embedding"]),
+        np.asarray(xla_out.params["item_embedding"]),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl_out.opt_state.mu), np.asarray(xla_out.opt_state.mu),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl_out.opt_state.nu), np.asarray(xla_out.opt_state.nu),
+        rtol=1e-6, atol=1e-8,
+    )

@@ -21,8 +21,42 @@ V5E_BF16_TFLOPS = 197.0
 V5E_HBM_GBS = 819.0
 
 
-def device_time(f, args, iters=20):
-    """Median wall time of f applied `iters` times inside one jit program."""
+_RTT_CACHE = [None]
+
+
+def tunnel_rtt() -> float:
+    """Fixed round-trip cost of one compiled-call + host fetch through the
+    axon tunnel (~24 ms measured 2026-08-18; varies with tunnel conditions —
+    re-measured per process). Every timing must subtract this floor or it
+    dominates: at 20 iters/call it contributes ~1.2 ms/iter of pure bias."""
+    if _RTT_CACHE[0] is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def noop(x):
+            return x + 1.0
+
+        c = noop.lower(jnp.float32(0)).compile()
+        float(c(jnp.float32(0)))  # warmup
+        _RTT_CACHE[0] = min(
+            _timed(lambda: float(c(jnp.float32(0)))) for _ in range(5)
+        )
+    return _RTT_CACHE[0]
+
+
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def device_time(f, args, iters=100):
+    """Per-application wall time of f, RTT-corrected.
+
+    Runs `iters` applications inside ONE jit program (lax.scan) and
+    subtracts the measured no-op tunnel round-trip — the per-call fetch
+    costs ~24 ms here and would otherwise swamp any op under ~1 ms."""
     import jax
 
     import jax.numpy as jnp
@@ -46,12 +80,10 @@ def device_time(f, args, iters=20):
     np.asarray(compiled(args))  # warmup; host fetch forces real completion
     times = []
     for _ in range(3):
-        t0 = time.perf_counter()
         # block_until_ready is decoupled from device execution through the
         # axon tunnel — a device->host fetch is the only true sync point
-        np.asarray(compiled(args))
-        times.append((time.perf_counter() - t0) / iters)
-    return min(times)
+        times.append(_timed(lambda: np.asarray(compiled(args))))
+    return max(min(times) - tunnel_rtt(), 0.0) / iters
 
 
 def bench_affinity(report):
@@ -225,12 +257,13 @@ def bench_embedding(report):
         )
 
 
-def device_time_carry(step, init, probe, iters=10):
+def device_time_carry(step, init, probe, iters=50):
     """Like device_time, but the op maps carry->carry (table-update chains):
     iteration i+1 consumes iteration i's output buffer, so a donated
     (input-output-aliased) kernel is timed without a phantom full-table copy,
     and the per-iteration probe reads a few updated rows (cheap) instead of
-    summing the whole table (a 3.5 GB read that would swamp the scatter)."""
+    summing the whole table (a 3.5 GB read that would swamp the scatter).
+    RTT-corrected like device_time."""
     import jax
     import jax.numpy as jnp
 
@@ -247,10 +280,8 @@ def device_time_carry(step, init, probe, iters=10):
     np.asarray(compiled(init))  # warmup; host fetch forces real completion
     times = []
     for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(compiled(init))
-        times.append((time.perf_counter() - t0) / iters)
-    return min(times)
+        times.append(_timed(lambda: np.asarray(compiled(init))))
+    return max(min(times) - tunnel_rtt(), 0.0) / iters
 
 
 def bench_scatter(report):
