@@ -57,6 +57,14 @@ class ModelConfig:
     bert_heads: int = 4
     bert_ff_dim: int = 512
     bert_dropout: float = 0.1
+    # The reference's InnerComp/InterComp affinity is a degenerate broadcast:
+    # torch.matmul(seq_self [b,n,d], seq1 [b,b,d,n]) aligns seq_self to the
+    # SECOND batch dim (model_seq.py:462-465), so the affinity row is
+    # independent of the receiving user and the aggregated message is one
+    # shared [n,d] tensor per batch (verified by torch oracle,
+    # tests/test_comp.py). True reproduces that published behavior; False
+    # uses the idealized all-pairs affinity the paper describes.
+    comp_broadcast_quirk: bool = True
     # Reference BERT4Rec builds its padding mask from seq_d2 for BOTH domains
     # (model_seq.py:286-294). True preserves that quirk for parity; False uses
     # each domain's own ids.
@@ -214,6 +222,10 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--isItC", type=_parse_bool, default=False)
     p.add_argument("--ts1", type=float, default=0.5)
     p.add_argument("--ts2", type=float, default=0.5)
+    p.add_argument("--comp_broadcast_quirk", type=_parse_bool, default=True,
+                   help="True (default): reproduce the reference's degenerate "
+                        "broadcast affinity (shared per-batch message); "
+                        "False: idealized all-pairs affinity")
     p.add_argument("--overlap", type=_parse_bool, default=False)
     p.add_argument("--isDR", type=_parse_bool, default=False)
     p.add_argument("--dr_e_w", type=float, default=0.1)
@@ -251,6 +263,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         is_itc=a.isItC,
         ts1=a.ts1,
         ts2=a.ts2,
+        comp_broadcast_quirk=a.comp_broadcast_quirk,
         is_dr=a.isDR or is_dr,
         kernels=a.kernels,
         use_bf16=a.bf16,

@@ -116,12 +116,14 @@ class AMIDModel(nn.Module):
         seq_d2 = lookup(batch["seq_d2"])
 
         if cfg.is_inc:
-            seq_d1 = InnerComp(cfg.batch_size, cfg.ts1, cfg.kernels, name="inc_d1")(
-                seq_d1
-            )
-            seq_d2 = InnerComp(cfg.batch_size, cfg.ts1, cfg.kernels, name="inc_d2")(
-                seq_d2
-            )
+            seq_d1 = InnerComp(
+                cfg.batch_size, cfg.ts1, cfg.kernels,
+                cfg.comp_broadcast_quirk, name="inc_d1",
+            )(seq_d1)
+            seq_d2 = InnerComp(
+                cfg.batch_size, cfg.ts1, cfg.kernels,
+                cfg.comp_broadcast_quirk, name="inc_d2",
+            )(seq_d2)
 
         if cfg.backbone == "gru4rec":
             seq_d1 = GruEncoder(cfg.emb_dim, name="enc_d1")(seq_d1)
@@ -169,12 +171,14 @@ class AMIDModel(nn.Module):
         cfg = self.cfg
         if not cfg.is_itc:
             return seq_d1, seq_d2
-        d1 = InterComp(cfg.batch_size, cfg.ts2, cfg.kernels, name="itc_d1")(
-            seq_d1, seq_d2
-        )
-        d2 = InterComp(cfg.batch_size, cfg.ts2, cfg.kernels, name="itc_d2")(
-            seq_d2, seq_d1
-        )
+        d1 = InterComp(
+            cfg.batch_size, cfg.ts2, cfg.kernels,
+            cfg.comp_broadcast_quirk, name="itc_d1",
+        )(seq_d1, seq_d2)
+        d2 = InterComp(
+            cfg.batch_size, cfg.ts2, cfg.kernels,
+            cfg.comp_broadcast_quirk, name="itc_d2",
+        )(seq_d2, seq_d1)
         return d1, d2
 
 

@@ -54,6 +54,25 @@ def max_affinity_xla(
     return out.reshape(bsz, c)
 
 
+def diag_max_affinity(seq_a: jax.Array, seq_b: jax.Array) -> jax.Array:
+    """a[j] = max_{i,k} seq_a[j, i] . seq_b[j, k]  — per-user diagonal affinity.
+
+    This is what the reference *actually* computes: in
+    `torch.matmul(seq_self [b,n,d], seq1 [b,b,d,n])` (model_seq.py:462-465,
+    487-490) torch aligns the 3-D operand to the SECOND batch dim of the 4-D
+    one, so `group_bool[i, j] = seq_self[j] @ seq_peer[j].T` — independent of
+    i. The affinity row is the same for every user: a per-peer broadcast of
+    each user's own (self- or cross-domain) max affinity. O(B n m d) — far
+    cheaper than the all-pairs contraction.
+
+    seq_a: [B, N, D], seq_b: [B, M, D] -> [B] float32.
+    """
+    s = jnp.einsum(
+        "bnd,bmd->bnm", seq_a, seq_b, preferred_element_type=jnp.float32
+    )
+    return jnp.max(s, axis=(1, 2))
+
+
 @functools.partial(jax.jit, static_argnames=("kernels",))
 def max_affinity(seq_a: jax.Array, seq_b: jax.Array, kernels: str = "xla") -> jax.Array:
     """Dispatch point for the affinity contraction.
