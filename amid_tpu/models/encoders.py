@@ -122,7 +122,11 @@ class TorchMultiheadAttention(nn.Module):
             ),
             (d, d),
         )
-        return out @ w_out  # out_proj bias is zero-init in torch; keep exact
+        # torch MultiheadAttention's out_proj has a TRAINABLE zero-init bias
+        # (_reset_parameters: constant_(out_proj.bias, 0.)) — zero-init, not
+        # absent: it trains away from zero (model_seq.py:348-351).
+        b_out = self.param("out_proj_bias", nn.initializers.zeros, (d,))
+        return out @ w_out + b_out
 
 
 class PointWiseFeedForward(nn.Module):

@@ -84,7 +84,13 @@ def max_affinity(seq_a: jax.Array, seq_b: jax.Array, kernels: str = "xla") -> ja
     every AMID shape; 'force_pallas' exists for kernel development.
     """
     if kernels == "force_pallas":
-        from amid_tpu.ops.pallas_affinity import max_affinity_pallas
+        from amid_tpu.ops.pallas_affinity import (
+            max_affinity_pallas, max_affinity_pallas_smalln, smalln_fits,
+        )
 
+        bsz, n, d = seq_a.shape
+        c, m, _ = seq_b.shape
+        if smalln_fits(bsz, n, c, m, d):
+            return max_affinity_pallas_smalln(seq_a, seq_b)
         return max_affinity_pallas(seq_a, seq_b)
     return max_affinity_xla(seq_a, seq_b)

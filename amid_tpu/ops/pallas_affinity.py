@@ -115,7 +115,11 @@ def max_affinity_pallas(seq_a: jax.Array, seq_b: jax.Array) -> jax.Array:
 # max-accumulates into the resident [B, C] output block.
 #
 # VMEM: bank M*C*D + scores B*M*C + out B*C (fp32) — fits under ~12 MB for
-# N*M <= ~1k at B=C=256, D=128 (mybank: 7.9 MB). The dispatcher guards this.
+# N*M <= ~1k at B=C=256, D=128 (mybank: 7.9 MB). Dispatched from
+# ops/affinity.py::max_affinity under kernels='force_pallas' when
+# smalln_fits() holds (inputs are cast to bf16 — a numerics change, so the
+# production 'pallas'/'auto' path stays on XLA until the measured win is
+# recorded in docs/PERF.md; bench entry: tools/bench_kernels.py affinity).
 
 _SMALLN_VMEM_BUDGET = 12 * 1024 * 1024
 

@@ -41,7 +41,9 @@ import optax
 from amid_tpu.data.sampler import sample_negatives
 from amid_tpu.parallel import context
 from amid_tpu.train import losses
-from amid_tpu.train.steps import TrainState, _make_labels, _model_batch
+from amid_tpu.train.steps import (
+    TrainState, _make_labels, _model_batch, nonfinite_flag,
+)
 
 TABLE_KEY = "item_embedding"
 
@@ -158,6 +160,7 @@ def _make_lazy_step(
         (_, metrics), (g_dense, g_rows) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(dense, rows)
+        metrics["nonfinite"] = nonfinite_flag(metrics)
 
         # dense params: plain optax adam
         updates, dense_opt = tx_dense.update(g_dense, opt.dense_opt, dense)

@@ -101,9 +101,18 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        metrics["nonfinite"] = nonfinite_flag(metrics)
         return TrainState(params, opt_state, state.opt_state2), metrics
 
     return step
+
+
+def nonfinite_flag(metrics: dict) -> jax.Array:
+    """1.0 if any loss metric is non-finite, else 0.0 — computed inside the
+    step's XLA program so the host latch (loop.py) sees EVERY step, not just
+    log steps (failure detection, SURVEY §5)."""
+    flags = [(~jnp.isfinite(v)).astype(jnp.float32) for v in metrics.values()]
+    return jnp.max(jnp.stack(flags))
 
 
 def make_dr_r_step(model, tx2: optax.GradientTransformation) -> Callable:
@@ -134,6 +143,7 @@ def make_dr_r_step(model, tx2: optax.GradientTransformation) -> Callable:
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state2 = tx2.update(grads, state.opt_state2, state.params)
         params = optax.apply_updates(state.params, updates)
+        metrics["nonfinite"] = nonfinite_flag(metrics)
         return TrainState(params, state.opt_state, opt_state2), metrics
 
     return step

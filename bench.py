@@ -29,6 +29,14 @@ import numpy as np
 REF_BASELINE_EXAMPLES_PER_S = 118.9
 
 
+def _timed_fetch(compiled) -> float:
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(compiled(jnp.float32(0)))
+    return time.perf_counter() - t0
+
+
 def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
               kernels: str = "auto", lazy: bool = False,
               phase_b: bool = False, bf16: bool = False) -> float:
@@ -93,11 +101,16 @@ def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
         state, m = step(state, batch, pools, pool_sizes, jax.random.fold_in(key, i))
     float(m[loss_key])  # host fetch: the only true sync through the TPU tunnel
 
-    # one no-op fetch measures the tunnel round-trip floor (~24 ms) so the
-    # final sync's fixed cost doesn't bias the per-step time
-    t0 = time.perf_counter()
-    float(m[loss_key])
-    rtt = time.perf_counter() - t0
+    # Tunnel round-trip floor: time a FRESH compiled no-op call + fetch (a
+    # re-fetch of an already-materialized array never crosses the tunnel —
+    # jax caches the host value, so it measures ~µs, not the ~24 ms RTT).
+    @jax.jit
+    def _noop(x):
+        return x + 1.0
+
+    _c = _noop.lower(jnp.float32(0)).compile()
+    float(_c(jnp.float32(0)))  # warmup
+    rtt = min(_timed_fetch(_c) for _ in range(5))
 
     t0 = time.perf_counter()
     for i in range(steps):

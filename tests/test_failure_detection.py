@@ -47,3 +47,39 @@ def test_ignore_policy_continues():
     out = _handle_nan(cfg, logging.getLogger(), ckpt, "state", 0, 0)
     assert out == "state"
     assert ckpt.restore_calls == 0
+
+
+def test_nan_at_non_log_step_triggers_policy(tmp_path, rng, monkeypatch):
+    """A NaN at a step that is NOT a log step must still trip the policy:
+    every step ORs its on-device `nonfinite` flag into a latch that the loop
+    fetches at log cadence and at epoch end (VERDICT r1 weak #3)."""
+    import jax.numpy as jnp
+
+    import amid_tpu.train.loop as loop_mod
+    from amid_tpu.train.loop import run_seed
+    from amid_tpu.train.steps import make_train_step as real_make
+    from test_train_smoke import _cfg, synth_dataset
+
+    def patched_make(*a, **k):
+        real = real_make(*a, **k)
+        count = {"i": 0}
+
+        def step(state, batch, pools, pool_sizes, key):
+            state, m = real(state, batch, pools, pool_sizes, key)
+            count["i"] += 1
+            if count["i"] == 3:  # log_every=20 -> step 3 is never a log step
+                m = dict(m)
+                m["loss"] = jnp.float32(jnp.nan)
+                m["nonfinite"] = jnp.float32(1.0)
+            return state, m
+
+        return step
+
+    monkeypatch.setattr(loop_mod, "make_train_step", patched_make)
+    train = synth_dataset(rng, n_rows=64)
+    val = synth_dataset(rng, n_rows=32)
+    cfg = _cfg(tmp_path)
+    cfg.nan_policy = "halt"
+    cfg.log_every = 20
+    with pytest.raises(NonFiniteLossError):
+        run_seed(cfg, seed=0, train_ds=train, val_ds=val)

@@ -22,6 +22,24 @@ def test_affinity_kernel_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-1)
 
 
+def test_affinity_smalln_kernel_matches_xla(rng):
+    """The VMEM-resident small-N variant (peer bank held on-chip),
+    dispatched by max_affinity under force_pallas when smalln_fits()."""
+    from amid_tpu.ops.affinity import max_affinity_xla
+    from amid_tpu.ops.pallas_affinity import (
+        max_affinity_pallas_smalln, smalln_fits,
+    )
+
+    a = jnp.asarray(rng.normal(size=(16, 8, 128)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16, 6, 128)).astype(np.float32))
+    assert smalln_fits(16, 8, 16, 6, 128)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(max_affinity_pallas_smalln(a, b))
+    want = np.asarray(max_affinity_xla(a, b, chunk=1))
+    assert got.shape == (16, 16)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-1)
+
+
 def test_affinity_kernel_ragged_batch(rng):
     """Batch not a multiple of the tile: padding rows must not leak."""
     from amid_tpu.ops.affinity import max_affinity_xla

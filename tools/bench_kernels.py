@@ -91,7 +91,9 @@ def bench_affinity(report):
     import jax.numpy as jnp
 
     from amid_tpu.ops.affinity import max_affinity_xla
-    from amid_tpu.ops.pallas_affinity import max_affinity_pallas
+    from amid_tpu.ops.pallas_affinity import (
+        max_affinity_pallas, max_affinity_pallas_smalln, smalln_fits,
+    )
 
     rng = np.random.default_rng(0)
     for n in (20, 160):
@@ -103,13 +105,19 @@ def bench_affinity(report):
         def f_pallas(x, y, salt):
             return max_affinity_pallas(x + 0.0 * salt, y)
 
+        def f_smalln(x, y, salt):
+            return max_affinity_pallas_smalln(x + 0.0 * salt, y)
+
         def f_xla(x, y, salt):
             return max_affinity_xla(x + 0.0 * salt, y)
 
         err = float(
             jnp.max(jnp.abs(max_affinity_pallas(a, b) - max_affinity_xla(a, b)))
         )
-        for name, f in (("pallas", f_pallas), ("xla", f_xla)):
+        variants = [("pallas", f_pallas), ("xla", f_xla)]
+        if smalln_fits(B, n, B, n, D):
+            variants.append(("smalln", f_smalln))
+        for name, f in variants:
             try:
                 dt = device_time(f, (a, b))
             except Exception as e:  # noqa: BLE001
