@@ -182,6 +182,12 @@ class TrainConfig:
     # non-finite train loss — "restore" rolls back to the last checkpoint
     # once and continues, "halt" raises, "ignore" logs only.
     nan_policy: str = "restore"
+    # Mesh training: False = single-device jit (parity default). True (set
+    # automatically by any non-default --data_axis/--model_axis) shards the
+    # existing steps over `mesh` — GSPMD (device_put + jit) or shard_map per
+    # mesh_impl.
+    use_mesh: bool = False
+    mesh_impl: str = "gspmd"
     # Sparse embedding updates (train/lazy.py): only touched table rows'
     # params/moments move. ~3 GB/step less HBM traffic at the mybank vocab;
     # lazy-Adam semantics (untouched rows' moments don't decay). Covers both
@@ -240,6 +246,19 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--subdomain", type=int, default=-1,
                    help=">=0: single-domain mode — keep only rows of this "
                         "domain (reference SingleDomainSeqDataset)")
+    # Device-mesh training (new vs reference, SURVEY §2.5). Any non-default
+    # axis (or --mesh True) turns the trainer's steps into mesh programs:
+    # batch sharded over `data`, item table row-sharded over `model`.
+    p.add_argument("--data_axis", type=int, default=-1,
+                   help="data-parallel axis size (-1: all remaining devices)")
+    p.add_argument("--model_axis", type=int, default=1,
+                   help="model axis size (row-sharded embedding tables)")
+    p.add_argument("--mesh", type=_parse_bool, default=False,
+                   help="force mesh training even at the default 1x1 layout")
+    p.add_argument("--mesh_impl", type=str, default="gspmd",
+                   choices=("gspmd", "shard_map"),
+                   help="gspmd: jit + sharded arrays (XLA inserts "
+                        "collectives); shard_map: explicit collectives")
 
 
 def _parse_bool(v: str) -> bool:
@@ -290,6 +309,9 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         subdomain=a.subdomain,
         lazy_table_adam=a.lazy_table_adam,
         checkpoint=a.checkpoint,
+        use_mesh=a.mesh or a.model_axis != 1 or a.data_axis > 0,
+        mesh_impl=a.mesh_impl,
         model=model,
         data=data,
+        mesh=MeshConfig(data_axis=a.data_axis, model_axis=a.model_axis),
     )

@@ -71,3 +71,30 @@ def param_shardings(mesh: Mesh, tree) -> object:
         return replicated(mesh)
 
     return jax.tree_util.tree_map_with_path(rule, tree)
+
+
+def state_shardings(mesh: Mesh, state) -> object:
+    """Sharding tree for a full TrainState (train.steps / train.lazy):
+    params + dense optax moments via param_shardings; a LazyTableState's
+    per-row mu/nu follow the table (row-sharded over `model`), its step
+    count replicated."""
+    from amid_tpu.train.lazy import LazyTableState
+    from amid_tpu.train.steps import TrainState
+
+    def opt_sh(opt):
+        if opt is None:
+            return None
+        if isinstance(opt, LazyTableState):
+            return LazyTableState(
+                dense_opt=param_shardings(mesh, opt.dense_opt),
+                mu=table_sharding(mesh),
+                nu=table_sharding(mesh),
+                count=replicated(mesh),
+            )
+        return param_shardings(mesh, opt)
+
+    return TrainState(
+        param_shardings(mesh, state.params),
+        opt_sh(state.opt_state),
+        opt_sh(state.opt_state2),
+    )

@@ -65,6 +65,7 @@ def evaluate(
     key,
     overlap_eval: bool,
     log=None,
+    put=None,
 ) -> dict[str, float]:
     import time
 
@@ -76,6 +77,8 @@ def evaluate(
     t_dispatch = 0.0
     for i, batch in enumerate(val_iter):
         td = time.perf_counter()
+        if put is not None:
+            batch = put(batch)
         out = eval_step(params, batch, pools, pool_sizes, jax.random.fold_in(key, i))
         t_dispatch += time.perf_counter() - td
         acc.add(
@@ -181,6 +184,50 @@ def run_seed(
     vpools, vpool_sizes = _device_pools(val_ds)
     dpools, dpool_sizes = _device_pools(dr_ds) if dr_ds is not None else (None, None)
 
+    # --- device-mesh training (SURVEY §2.5; new vs the single-GPU reference).
+    # GSPMD: the SAME jit steps run sharded once state/batches carry mesh
+    # shardings (XLA inserts the collectives — table-gather psums over
+    # `model`, peer-bank all-gathers + grad psums over `data`).
+    # shard_map: the steps are rebuilt around explicit collectives
+    # (parallel/spmd.py) — dense Adam only.
+    put = lambda b: b  # noqa: E731
+    if cfg.use_mesh:
+        from amid_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicated, state_shardings,
+        )
+
+        mesh = make_mesh(cfg.mesh)
+        dsz = mesh.shape["data"]
+        if cfg.model.batch_size % dsz:
+            raise ValueError(
+                f"batch_size {cfg.model.batch_size} not divisible by "
+                f"data axis {dsz}"
+            )
+        if cfg.mesh_impl == "shard_map":
+            if lazy:
+                raise ValueError(
+                    "mesh_impl=shard_map does not cover --lazy_table_adam; "
+                    "use gspmd"
+                )
+            from amid_tpu.parallel.spmd import (
+                make_spmd_dr_r_step, make_spmd_eval_step, make_spmd_train_step,
+            )
+
+            train_step = make_spmd_train_step(
+                model, tx, mesh, dr_e_w=cfg.dr_e_w if is_dr else None
+            )
+            dr_step = make_spmd_dr_r_step(model, tx2, mesh) if is_dr else None
+            eval_step = make_spmd_eval_step(model, cfg.data.neg_nums, mesh)
+        repl = replicated(mesh)
+        bsh = batch_sharding(mesh)
+        state = jax.device_put(state, state_shardings(mesh, state))
+        pools, pool_sizes = jax.device_put((pools, pool_sizes), repl)
+        vpools, vpool_sizes = jax.device_put((vpools, vpool_sizes), repl)
+        if dpools is not None:
+            dpools, dpool_sizes = jax.device_put((dpools, dpool_sizes), repl)
+        put = lambda b: jax.device_put(b, bsh)  # noqa: E731
+        log.info(f"mesh: {dict(mesh.shape)} impl={cfg.mesh_impl}")
+
     train_iter = BatchIterator(
         train_ds, cfg.model.batch_size, shuffle=True, seed=seed, drop_last=True
     )
@@ -231,7 +278,7 @@ def run_seed(
             if cfg.profile_steps and epoch == 0 and i == 1:
                 jax.profiler.start_trace(f"{cfg.model_dir}/profile")
             state, m = train_step(
-                state, batch, pools, pool_sizes, jax.random.fold_in(ekey, i)
+                state, put(batch), pools, pool_sizes, jax.random.fold_in(ekey, i)
             )
             latch = jnp.maximum(latch, m.pop("nonfinite", 0.0))
             if cfg.profile_steps and epoch == 0 and i == cfg.profile_steps:
@@ -254,6 +301,7 @@ def run_seed(
         ev = evaluate(
             eval_step, state.params, val_iter, vpools, vpool_sizes,
             jax.random.fold_in(ekey, 10_000), cfg.overlap_eval, log=log,
+            put=put,
         )
         _track_best(best, ev)
         log.info(
@@ -267,7 +315,7 @@ def run_seed(
             latch = jnp.zeros((), jnp.float32)
             for i, batch in enumerate(dr_iter):
                 state, m = dr_step(
-                    state, batch, dpools, dpool_sizes,
+                    state, put(batch), dpools, dpool_sizes,
                     jax.random.fold_in(ekey, 20_000 + i),
                 )
                 latch = jnp.maximum(latch, m.pop("nonfinite", 0.0))
@@ -283,6 +331,7 @@ def run_seed(
             ev = evaluate(
                 eval_step, state.params, val_iter, vpools, vpool_sizes,
                 jax.random.fold_in(ekey, 30_000), cfg.overlap_eval, log=log,
+                put=put,
             )
             _track_best(best, ev)
             log.info(
