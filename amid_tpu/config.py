@@ -44,6 +44,9 @@ class ModelConfig:
     ts1: float = 0.5  # InnerComp hard threshold (model_seq.py:467)
     ts2: float = 0.5  # InterComp hard threshold (model_seq.py:492)
     is_dr: bool = False  # doubly-robust heads (model_seq.py:412-414)
+    # C2DSR mode (dataset_seq.py:283-441 + train/c2dsr.py objective):
+    # device-sampled corrupted-sequence views + contrastive infomax loss.
+    is_c2dsr: bool = False
     item_length: int = REF_ITEM_LENGTH
     user_length: int = REF_USER_LENGTH
     # Transformer dims for SASRec encoder (model_seq.py:331-357): 2 blocks,
@@ -93,8 +96,11 @@ class ModelConfig:
     @property
     def enc_seq_len(self) -> int:
         """Encoder input length: doubled when InnerComp concatenates the
-        aggregated peer message along time (model_seq.py:66,471)."""
-        return self.seq_len * 2 if self.is_inc else self.seq_len
+        aggregated peer message along time (model_seq.py:66,471) and when the
+        C2DSR interleaved views (2L) pass through the towers — the SASRec
+        position table must cover the longest input."""
+        mult = (2 if self.is_inc else 1) * (2 if self.is_c2dsr else 1)
+        return self.seq_len * mult
 
 
 @dataclass
@@ -193,6 +199,8 @@ class TrainConfig:
     # lazy-Adam semantics (untouched rows' moments don't decay). Covers both
     # DR phases (optimizer2 gets its own per-row moment set).
     lazy_table_adam: bool = False
+    # C2DSR contrastive weight (train/c2dsr.py; active when model.is_c2dsr).
+    cl_w: float = 0.1
     eval_batch_drop_last: bool = True  # reference val loader drop_last=True (train_sr.py:455)
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -235,6 +243,11 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--overlap", type=_parse_bool, default=False)
     p.add_argument("--isDR", type=_parse_bool, default=False)
     p.add_argument("--dr_e_w", type=float, default=0.1)
+    p.add_argument("--isC2DSR", type=_parse_bool, default=False,
+                   help="corrupted-sequence contrastive mode "
+                        "(dataset_seq.py:283-441 semantics, train/c2dsr.py)")
+    p.add_argument("--cl_w", type=float, default=0.1,
+                   help="C2DSR contrastive loss weight")
     p.add_argument("--data_root", type=str, default="/root/reference")
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--kernels", type=str, default="auto")
@@ -284,6 +297,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         ts2=a.ts2,
         comp_broadcast_quirk=a.comp_broadcast_quirk,
         is_dr=a.isDR or is_dr,
+        is_c2dsr=a.isC2DSR,
         kernels=a.kernels,
         use_bf16=a.bf16,
     )
@@ -308,6 +322,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         resume=a.resume,
         subdomain=a.subdomain,
         lazy_table_adam=a.lazy_table_adam,
+        cl_w=a.cl_w,
         checkpoint=a.checkpoint,
         use_mesh=a.mesh or a.model_axis != 1 or a.data_axis > 0,
         mesh_impl=a.mesh_impl,

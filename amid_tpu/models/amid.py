@@ -71,7 +71,7 @@ class AMIDModel(nn.Module):
         neg_feat = lookup(batch["neg_samples"])  # [B, K, D]
         cand = jnp.concatenate([i_feat, neg_feat], axis=1)  # [B, 1+K, D]
 
-        out = {}
+        out = {"u_d1": u_d1, "u_d2": u_d2}
         out["logits_d1"], out["logits_d2"] = PredictHead(
             cfg.hid_dim, cfg.kernels, name="predict"
         )(u_d1, u_d2, cand)

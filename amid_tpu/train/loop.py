@@ -143,7 +143,11 @@ def run_seed(
     is_dr = cfg.model.is_dr
     tx2 = optax.adam(cfg.lr * cfg.lr2) if is_dr else None
 
+    c2dsr_w = cfg.cl_w if cfg.model.is_c2dsr else None
     lazy = cfg.lazy_table_adam
+    if lazy and c2dsr_w is not None:
+        # the lazy unique-id budget doesn't cover the corrupted-view lookups
+        raise ValueError("--isC2DSR is not supported with --lazy_table_adam")
     if lazy:
         from amid_tpu.train.lazy import (
             init_lazy_state, make_lazy_dr_r_step, make_lazy_train_step,
@@ -171,7 +175,7 @@ def run_seed(
             sample_batch=_sample_batch(train_ds, cfg.model.batch_size),
         )
         train_step = make_train_step(
-            model, tx, dr_e_w=cfg.dr_e_w if is_dr else None
+            model, tx, dr_e_w=cfg.dr_e_w if is_dr else None, c2dsr_w=c2dsr_w
         )
         dr_step = make_dr_r_step(model, tx2) if is_dr else None
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -208,6 +212,10 @@ def run_seed(
                 raise ValueError(
                     "mesh_impl=shard_map does not cover --lazy_table_adam; "
                     "use gspmd"
+                )
+            if c2dsr_w is not None:
+                raise ValueError(
+                    "mesh_impl=shard_map does not cover --isC2DSR; use gspmd"
                 )
             from amid_tpu.parallel.spmd import (
                 make_spmd_dr_r_step, make_spmd_eval_step, make_spmd_train_step,

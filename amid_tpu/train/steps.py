@@ -63,21 +63,30 @@ def make_train_step(
     model,
     tx: optax.GradientTransformation,
     dr_e_w: Optional[float] = None,
+    c2dsr_w: Optional[float] = None,
 ) -> Callable:
-    """Phase-A step: masked BCE (+ dr_e_w * loss_dr_e when DR).
+    """Phase-A step: masked BCE (+ dr_e_w * loss_dr_e when DR,
+    + c2dsr_w * contrastive infomax when C2DSR — train/c2dsr.py).
 
     Returns step(state, batch, pools, pool_sizes, key) -> (state, metrics).
     """
     is_dr = dr_e_w is not None
+    is_c2dsr = c2dsr_w is not None
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, pools, pool_sizes, key):
-        k_neg, k_drop = jax.random.split(key)
+        k_neg, k_drop, k_corr, k_drop2 = jax.random.split(key, 4)
         neg = sample_negatives(
             k_neg, pools, pool_sizes, batch["domain_id"], batch["reject"], 1,
             batch.get("reject_counts"),
         )
         labels = _make_labels(batch["target"].shape[0], 1)
+        views = None
+        if is_c2dsr:
+            from amid_tpu.train.c2dsr import c2dsr_views, sample_corr
+
+            corr = sample_corr(k_corr, pools, pool_sizes, batch)
+            views = c2dsr_views(batch, corr)
 
         def loss_fn(params):
             out = model.apply(
@@ -95,6 +104,15 @@ def make_train_step(
                 dr_e = losses.dr_e_loss(out, labels, batch["domain_id"])
                 loss = loss_cls + dr_e * dr_e_w
                 metrics["loss_dr_e"] = dr_e
+            if is_c2dsr:
+                from amid_tpu.train.c2dsr import c2dsr_loss
+
+                cl = c2dsr_loss(
+                    model, params, _model_batch(batch, neg), views,
+                    out["u_d1"], out["u_d2"], k_drop2, train=True,
+                )
+                loss = loss + cl * c2dsr_w
+                metrics["loss_cl"] = cl
             metrics["loss"] = loss
             return loss, metrics
 

@@ -64,6 +64,7 @@ def test_dr_heads_present(rng):
     out = model.apply(params, batch, train=False)
     assert set(out) == {
         "logits_d1", "logits_d2", "ips_d1", "ips_d2", "gfunc_d1", "gfunc_d2",
+        "u_d1", "u_d2",
     }
 
 
