@@ -107,3 +107,14 @@ def test_dr_split_tool(tmp_path):
     assert len(users) == 20
     # 5 overlap + 3 sampled non-overlap observed
     assert sum(ob) == 5 + 3
+
+
+def test_param_audit_sasrec_dr():
+    """Parameter-tree parity vs the actual reference module (tools/
+    audit_params.py; full sweep runs standalone — this pins the flagship)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.audit_params import audit
+
+    assert audit("sasrec", inc=False, itc=True, dr=True)
