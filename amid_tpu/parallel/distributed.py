@@ -31,8 +31,15 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Idempotent jax.distributed.initialize; no-op for single process."""
-    if jax.process_count() > 1:
+    """Idempotent jax.distributed.initialize; no-op for single process.
+
+    MUST run before any other JAX call: touching a backend (even
+    jax.process_count()) initializes it single-process, after which
+    distributed init cannot take effect. Idempotence is therefore checked
+    against the distributed client, not the backend."""
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     try:
         jax.distributed.initialize(
@@ -41,7 +48,9 @@ def initialize_distributed(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # single-process environment (no coordinator) — run locally
+        if coordinator_address is not None:
+            raise  # an explicit multi-process setup failing is an error
+        # auto-discovery unavailable — single-process environment
         pass
 
 

@@ -118,3 +118,53 @@ def test_param_audit_sasrec_dr():
     from tools.audit_params import audit
 
     assert audit("sasrec", inc=False, itc=True, dr=True)
+
+
+def test_prepare_raw_pipeline(tmp_path):
+    """tools/prepare_raw.py (notebook semantics, SURVEY §2.4): min-events
+    filter, contiguous remap with domain-offset items, time-ordered per-domain
+    sequences, 80/20 split — and output format identical to the shipped CSVs
+    (loadable by the packed loader)."""
+    import csv
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.prepare_raw import prepare
+    from amid_tpu.data.packed import load_dual_domain_csv, read_dual_domain_csv
+
+    src = tmp_path / "events.csv"
+    rows = [
+        # user A: 6 events across both domains (kept)
+        ("A", "i1", 3.0, 0), ("A", "i2", 1.0, 0), ("A", "j1", 2.0, 1),
+        ("A", "i3", 4.0, 0), ("A", "j2", 5.0, 1), ("A", "i1", 6.0, 0),
+        # user B: 2 events (dropped by min_events=5)
+        ("B", "i1", 1.0, 0), ("B", "j1", 2.0, 1),
+        # user C: 5 events, ends in domain 1 (kept)
+        ("C", "j3", 1.0, 1), ("C", "j1", 2.0, 1), ("C", "i2", 3.0, 0),
+        ("C", "j4", 4.0, 1), ("C", "j5", 5.0, 1),
+    ]
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["user_id", "item_id", "timestamp", "domain_id"])
+        w.writerows(rows)
+
+    prepare(str(src), str(tmp_path / "out"), min_events=5, test_frac=0.0,
+            seed=0)
+    users, s1, s2, dom = read_dual_domain_csv(str(tmp_path / "out_train100.csv"))[:4]
+    assert sorted(users) == [0, 1]  # contiguous remap, B dropped
+    by_user = {u: (a, b, d) for u, a, b, d in zip(users, s1, s2, dom)}
+    a1, a2, ad = by_user[0]
+    c1, c2, cd = by_user[1]
+    # A's d0 sequence is time-ordered: i2(1.0), i1(3.0), i3(4.0), i1(6.0)
+    assert len(a1) == 4 and a1[0] != a1[1]
+    assert a1[1] == a1[3]  # i1 repeats at ts 3.0 and 6.0
+    assert ad == 0 and cd == 1  # last event's domain
+    # domain-1 item ids are offset after ALL domain-0 ids
+    d0_ids = set(a1) | set(c1)
+    d1_ids = set(a2) | set(c2)
+    assert max(d0_ids) < min(d1_ids)
+    # format parity with shipped CSVs: header + packed-loader round trip
+    with open(tmp_path / "out_train100.csv") as f:
+        assert f.readline().strip() == "user_id,seq_d1,seq_d2,domain_id"
+    ds = load_dual_domain_csv(str(tmp_path / "out_train100.csv"), 6, 999)
+    assert len(ds) == 2
