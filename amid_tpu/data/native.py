@@ -51,8 +51,77 @@ def _load():
     lib.amid_seq_offsets.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.amid_seq_values.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.amid_free.argtypes = [ctypes.c_void_p]
+    # full native pack (parse handle -> PackedDualDomainDataset arrays)
+    lib.amid_pack.restype = ctypes.c_void_p
+    lib.amid_pack.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.amid_packed_n.restype = ctypes.c_int64
+    lib.amid_packed_n.argtypes = [ctypes.c_void_p]
+    for name in ("amid_packed_r_width", "amid_packed_p_width"):
+        getattr(lib, name).restype = ctypes.c_int32
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.amid_packed_pool_size.restype = ctypes.c_int32
+    lib.amid_packed_pool_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.amid_packed_arr.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.amid_packed_arr.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.amid_packed_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def pack_csv_native(path: str, with_ob_label: bool, seq_len: int,
+                    pad_id: int, long_length: int):
+    """CSV -> PackedDualDomainDataset entirely in C++ (parse + pack): the
+    ctypes lists-of-lists reboxing plus the python pack loop cost ~45x the
+    native parse itself (tools/bench_parser.py). Returns None when the
+    native lib is unavailable (caller falls back to the python path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.amid_parse(str(path).encode(), 1 if with_ob_label else 0)
+    if not h:
+        return None
+    try:
+        hp = lib.amid_pack(h, seq_len, pad_id, long_length)
+        if not hp:
+            return None
+        try:
+            n = int(lib.amid_packed_n(hp))
+            rw = int(lib.amid_packed_r_width(hp))
+            pw = int(lib.amid_packed_p_width(hp))
+
+            def arr(name, shape):
+                ptr = lib.amid_packed_arr(hp, name.encode())
+                flat = int(np.prod(shape))
+                return np.ctypeslib.as_array(ptr, (flat,)).reshape(shape).copy()
+
+            from amid_tpu.data.packed import PackedDualDomainDataset
+
+            return PackedDualDomainDataset(
+                user=arr("user", (n,)),
+                target=arr("target", (n,)),
+                seq_d1=arr("seq1", (n, seq_len)),
+                seq_d2=arr("seq2", (n, seq_len)),
+                long_mask_d1=arr("long1", (n,)),
+                long_mask_d2=arr("long2", (n,)),
+                domain_id=arr("domain", (n,)),
+                overlap=arr("overlap", (n,)),
+                ob_label=arr("ob", (n,)),
+                reject=arr("reject", (n, rw)),
+                reject_counts=arr("reject_counts", (n,)),
+                pools=arr("pools", (2, pw)),
+                pool_sizes=np.array(
+                    [lib.amid_packed_pool_size(hp, 0),
+                     lib.amid_packed_pool_size(hp, 1)], dtype=np.int32,
+                ),
+                pad_id=pad_id,
+                seq_len=seq_len,
+            )
+        finally:
+            lib.amid_packed_free(hp)
+    finally:
+        lib.amid_free(h)
 
 
 def parse_csv_native(path: str, with_ob_label: bool):

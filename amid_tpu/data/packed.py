@@ -245,6 +245,19 @@ def load_dual_domain_csv(
     SingleDomainSeqDataset semantics (dataset_seq.py:24-28: rows filtered by
     `domain_id == subdomain`; targets/negatives then come only from that
     domain's sequences and pool)."""
+    if subdomain is None:
+        # full-native path: parse + pack in C++ (exact pack_rows semantics,
+        # tested bit-for-bit in test_data; ~45x the python path end to end)
+        try:
+            from amid_tpu.data.native import pack_csv_native
+
+            ds = pack_csv_native(
+                csv_path, with_ob_label, seq_len, pad_id, long_length
+            )
+            if ds is not None:
+                return ds
+        except ImportError:
+            pass
     users, s1, s2, dom, ob = read_dual_domain_csv(csv_path, with_ob_label)
     if subdomain is not None:
         keep = [i for i, d in enumerate(dom) if d == subdomain]

@@ -151,3 +151,39 @@ def test_packed_save_load_roundtrip(tmp_path, packed):
     for k, v in packed.batch_arrays().items():
         np.testing.assert_array_equal(loaded.batch_arrays()[k], v)
     np.testing.assert_array_equal(loaded.pools, packed.pools)
+
+
+def test_native_pack_matches_python_pack(tmp_path):
+    """amid_pack (native/csv_parser.cpp) must reproduce pack_rows
+    bit-for-bit — including DR ob_label, pools, and reject positions."""
+    import csv as _csv
+
+    from amid_tpu.data.native import pack_csv_native
+    from amid_tpu.data.packed import pack_rows
+
+    rows = [
+        (0, [3, 1, 3, 2, 3], [], 0, 1),      # dup targets to dedupe
+        (1, [], [10, 11, 10], 1, 0),
+        (2, [5, 2], [12, 10, 13, 14], 1, 1),
+        (3, [1, 2, 3, 4, 5, 6, 7, 8], [11], 0, 0),  # longer than seq_len
+    ]
+    p = tmp_path / "t.csv"
+    with open(p, "w", newline="") as f:
+        w = _csv.writer(f, quoting=_csv.QUOTE_NONNUMERIC)
+        w.writerow(["user_id", "seq_d1", "seq_d2", "domain_id", "ob_label"])
+        for u, s1, s2, d, ob in rows:
+            w.writerow([u, str(s1), str(s2), d, ob])
+
+    nat = pack_csv_native(str(p), True, 6, 99, 3)
+    if nat is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    py = pack_rows(
+        [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows],
+        [r[3] for r in rows], [r[4] for r in rows], 6, 99, 3,
+    )
+    for k, v in py.batch_arrays().items():
+        assert (nat.batch_arrays()[k] == v).all(), k
+    assert (nat.pools == py.pools).all()
+    assert (nat.pool_sizes == py.pool_sizes).all()
