@@ -97,11 +97,20 @@ def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
 
 
 if __name__ == "__main__":
+    import json
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-mesh", action="store_true")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: global batch = --batch * data shards")
     ap.add_argument("--items", type=int, default=1_000_000)
+    ap.add_argument("--items-sweep", type=str, default="",
+                    help="comma list of table sizes to sweep on the chip, "
+                         "e.g. 894820,2000000,4000000,8000000 (largest-"
+                         "fitting single-chip table, SURVEY §7)")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--seq_len", type=int, default=20)
+    ap.add_argument("--out", type=str, default="")
     a = ap.parse_args()
 
     if a.cpu_mesh:
@@ -109,17 +118,36 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        configs = [(1, 1), (2, 2), (4, 2), (8, 2)]
+        configs = [(1, 1), (2, 1), (2, 2), (4, 2), (8, 2)]
     else:
         import jax
 
         configs = [(1, 1)]
 
-    for n, mp in configs:
-        if n > len(jax.devices()):
-            continue
-        eps = run_mesh(n, mp, a.items, a.batch, a.seq_len)
-        print(
-            f"devices={n} mesh=({n // mp}x{mp} dp x tp) items={a.items} "
-            f"batch={a.batch}: {eps:,.0f} examples/s", flush=True,
-        )
+    results = []
+    items_list = (
+        [int(x) for x in a.items_sweep.split(",")] if a.items_sweep
+        else [a.items]
+    )
+    for items in items_list:
+        for n, mp in configs:
+            if n > len(jax.devices()):
+                continue
+            bs = a.batch * (n // mp) if a.weak else a.batch
+            try:
+                eps = run_mesh(n, mp, items, bs, a.seq_len)
+            except Exception as e:  # noqa: BLE001 — OOM ends the sweep
+                print(f"devices={n} items={items:,}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                break
+            row = dict(devices=n, model_par=mp, items=items, batch=bs,
+                       examples_per_s=round(eps, 1))
+            results.append(row)
+            print(
+                f"devices={n} mesh=({n // mp}x{mp} dp x tp) items={items:,} "
+                f"batch={bs}: {eps:,.0f} examples/s", flush=True,
+            )
+    if a.out:
+        os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
+        with open(a.out, "w") as f:
+            json.dump(results, f, indent=2)
