@@ -95,6 +95,13 @@ def main() -> None:
     p.add_argument("--ts2", type=float, default=0.5)
     p.add_argument("--alpha_l", type=int, default=3)
     p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--seed_offset", type=int, default=0,
+                   help="first seed (extend an existing run without redoing "
+                   "seeds; protocol seeds are 0..4, train_sr.py:439)")
+    p.add_argument("--save_ckpt", action="store_true",
+                   help="torch.save the final state_dict per seed (for "
+                   "transplant evals — reference weights scored by amid_tpu "
+                   "eval and vice versa)")
     p.add_argument("--out", default="results/reference_cpu")
     a = p.parse_args()
 
@@ -136,7 +143,12 @@ def main() -> None:
     ]
     per_seed: list[dict[str, float]] = []
 
-    for i in range(a.seeds):
+    per_seed_path = f"{a.out}/per_seed.json"
+    if a.seed_offset and os.path.exists(per_seed_path):
+        with open(per_seed_path) as f:
+            per_seed = json.load(f)[: a.seed_offset]
+
+    for i in range(a.seed_offset, a.seed_offset + a.seeds):
         # Seeding exactly as main (train_sr.py:440-443).
         import random as _random
 
@@ -194,8 +206,10 @@ def main() -> None:
         row["wall_s"] = dt
         per_seed.append(row)
         print(f"seed {i}: {json.dumps(row)}", flush=True)
-        with open(f"{a.out}/per_seed.json", "w") as f:
+        with open(per_seed_path, "w") as f:
             json.dump(per_seed, f, indent=2)
+        if a.save_ckpt:
+            torch.save(model.state_dict(), f"{a.out}/model_seed{i}.pt")
 
     agg = {
         k: {
