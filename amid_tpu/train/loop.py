@@ -134,9 +134,14 @@ def run_seed(
     val_ds: PackedDualDomainDataset,
     dr_ds: Optional[PackedDualDomainDataset] = None,
     log=None,
+    epoch_hook=None,
 ) -> dict[str, float]:
     """Train one seed; returns the best-metric dict (reference train()
-    return contract, train_sr.py:352-355)."""
+    return contract, train_sr.py:352-355).
+
+    epoch_hook(epoch, state, ev): observability callback invoked after the
+    main per-epoch eval (used by tools/transplant_eval.py to score the same
+    weights under the reference's own test())."""
     log = log or init_logger(cfg.model_dir, f"log{seed}.txt")
     model = build_model(cfg.model)
     tx = optax.adam(cfg.lr)
@@ -318,6 +323,8 @@ def run_seed(
             f"NDCG@10 d1={ev['ndcg_10_d1']:.4f} d2={ev['ndcg_10_d2']:.4f} "
             f"MRR d1={ev['mrr_d1']:.4f} d2={ev['mrr_d2']:.4f}"
         )
+        if epoch_hook is not None:
+            epoch_hook(epoch, state, ev)
 
         if is_dr and dr_iter is not None:
             latch = jnp.zeros((), jnp.float32)
