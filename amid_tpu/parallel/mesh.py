@@ -30,6 +30,13 @@ MODEL_AXIS = "model"
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     cfg = cfg or MeshConfig()
+    # Fully explicit axes may use a SUBSET of the visible devices (e.g. a
+    # 1x1 mesh on an 8-device host — used by the shard_map-vs-plain parity
+    # test, or pinning a job to part of a slice).
+    if cfg.data_axis > 0 and cfg.model_axis > 0:
+        need = cfg.data_axis * cfg.model_axis
+        if need <= len(devices):
+            devices = devices[:need]
     data, model = cfg.axis_sizes(len(devices))
     arr = np.array(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))

@@ -75,8 +75,13 @@ def _make_spmd_update_step(
 
     def local_step(state: TrainState, batch, pools, pool_sizes, key):
         with spmd(axes):
-            # independent negatives/dropout per data shard
-            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            # Independent negatives/dropout per data shard. No fold at 1
+            # shard: a 1x1 mesh reproduces the single-device RNG stream
+            # bit-for-bit (split(key,2)==split(key,4)[:2]), which is what
+            # lets test_mesh_trainer assert METRIC equality between the
+            # shard_map trainer and the plain trainer.
+            if axes.data_shards > 1:
+                key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
             k_neg, k_drop = jax.random.split(key)
             neg = sample_negatives(
                 k_neg, pools, pool_sizes, batch["domain_id"], batch["reject"],
@@ -182,7 +187,8 @@ def make_spmd_eval_step(model, num_neg: int, mesh: Mesh) -> Callable:
 
     def local_eval(params, batch, pools, pool_sizes, key):
         with spmd(axes):
-            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            if axes.data_shards > 1:  # see local_step: 1x1 == plain stream
+                key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
             neg = sample_negatives(
                 key, pools, pool_sizes, batch["domain_id"], batch["reject"],
                 num_neg, batch.get("reject_counts"),
