@@ -28,7 +28,7 @@ import numpy as np
 
 
 def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
-             seq_len: int) -> float:
+             seq_len: int, lazy: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -36,7 +36,9 @@ def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
 
     from amid_tpu.config import MeshConfig, ModelConfig
     from amid_tpu.models.amid import build_model
-    from amid_tpu.parallel.mesh import DATA_AXIS, make_mesh, param_shardings
+    from amid_tpu.parallel.mesh import (
+        DATA_AXIS, make_mesh, param_shardings, state_shardings,
+    )
     from amid_tpu.train.steps import TrainState, make_train_step
 
     devices = jax.devices()[:n_devices]
@@ -68,15 +70,25 @@ def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
         k: jnp.asarray(batch_arrays[k])
         for k in ("target", "neg_samples", "seq_d1", "seq_d2")
     }
-    params = model.init({"params": key, "dropout": key}, model_batch,
-                        train=False)["params"]
     tx = optax.adam(5e-4)
-    state = TrainState(params, tx.init(params), None)
-    state = jax.device_put(
-        state,
-        TrainState(param_shardings(mesh, params),
-                   param_shardings(mesh, state.opt_state), None),
-    )
+
+    # Initialize the state ALREADY SHARDED (jit + out_shardings): each
+    # device materializes only its row shard of the table/moments. At the
+    # 50M north-star config the table+Adam moments are 3 x 25.6 GB — an
+    # init-then-relayout would transiently double that and OOM the host.
+    def init_state(key):
+        params = model.init({"params": key, "dropout": key}, model_batch,
+                            train=False)["params"]
+        if lazy:
+            from amid_tpu.train.lazy import init_lazy_state
+
+            return init_lazy_state(params, tx)
+        return TrainState(params, tx.init(params), None)
+
+    abstract = jax.eval_shape(init_state, key)
+    state = jax.jit(
+        init_state, out_shardings=state_shardings(mesh, abstract)
+    )(key)
     bsh = NamedSharding(mesh, P(DATA_AXIS))
     batch_dev = {k: jax.device_put(jnp.asarray(v_), bsh)
                  for k, v_ in batch_arrays.items()}
@@ -84,7 +96,12 @@ def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
     pools_dev = jax.device_put(jnp.asarray(pools), repl)
     sizes_dev = jax.device_put(jnp.asarray(pool_sizes), repl)
 
-    step = make_train_step(model, tx, dr_e_w=0.01)
+    if lazy:
+        from amid_tpu.train.lazy import make_lazy_train_step
+
+        step = make_lazy_train_step(model, tx, 5e-4, dr_e_w=0.01)
+    else:
+        step = make_train_step(model, tx, dr_e_w=0.01)
     state, m = step(state, batch_dev, pools_dev, sizes_dev, key)  # compile
     float(m["loss"])  # host fetch: the only true sync through the TPU tunnel
     iters = 5
@@ -110,6 +127,12 @@ if __name__ == "__main__":
                          "fitting single-chip table, SURVEY §7)")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--seq_len", type=int, default=20)
+    ap.add_argument("--lazy", action="store_true",
+                    help="lazy table Adam (the production big-table config: "
+                         "no dense table grad; required to fit 50M rows)")
+    ap.add_argument("--mesh", type=str, default="",
+                    help="single 'NxMP' config instead of the default list, "
+                         "e.g. 8x8 for the 50M functional step")
     ap.add_argument("--out", type=str, default="")
     a = ap.parse_args()
 
@@ -123,6 +146,9 @@ if __name__ == "__main__":
         import jax
 
         configs = [(1, 1)]
+    if a.mesh:
+        n_, mp_ = a.mesh.split("x")
+        configs = [(int(n_), int(mp_))]
 
     results = []
     items_list = (
@@ -135,13 +161,13 @@ if __name__ == "__main__":
                 continue
             bs = a.batch * (n // mp) if a.weak else a.batch
             try:
-                eps = run_mesh(n, mp, items, bs, a.seq_len)
+                eps = run_mesh(n, mp, items, bs, a.seq_len, lazy=a.lazy)
             except Exception as e:  # noqa: BLE001 — OOM ends the sweep
                 print(f"devices={n} items={items:,}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
                 break
             row = dict(devices=n, model_par=mp, items=items, batch=bs,
-                       examples_per_s=round(eps, 1))
+                       lazy=a.lazy, examples_per_s=round(eps, 1))
             results.append(row)
             print(
                 f"devices={n} mesh=({n // mp}x{mp} dp x tp) items={items:,} "
