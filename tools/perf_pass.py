@@ -214,6 +214,10 @@ def lazy_breakdown() -> dict:
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _make_batch(cfg, num_neg=1, rng=rng)
+    # sampler inputs (_make_batch only carries the model keys)
+    batch["domain_id"] = jnp.asarray(rng.integers(0, 2, 256, dtype=np.int32))
+    batch["reject"] = jnp.full((256, 4), cfg.item_table_size, jnp.int32)
+    batch["reject_counts"] = jnp.zeros((256,), jnp.int32)
     key = jax.random.PRNGKey(0)
     params = model.init({"params": key, "dropout": key}, batch, train=False)[
         "params"
