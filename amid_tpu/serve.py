@@ -3,12 +3,18 @@
 The reference only ever scores 1+K sampled candidates (model_seq.py:40-54);
 production retrieval needs each user's top-K over the ENTIRE item catalog.
 This scores the catalog in item tiles against the user representations with
-the same predictModule math (split-kernel MLP) and keeps a running top-K via
-lax.top_k over [current topk ++ tile] — the full [B, V] score matrix never
-materializes.
+the same predictModule math (split-kernel MLP); the full [B, V] score
+matrix never materializes.
 
-Scoring the mybank-scale catalog (894,820 rows) for a 256-user batch is
-~2 TFLOP per domain — ~10-20 ms/batch on a v5e chip.
+Per-tile selection is `lax.approx_max_k` (the TPU PartialReduce op) followed
+by an exact [2k]-merge of the carry — measured on chip (tools/bench_serve.py,
+results/serve_bench.json): the first sort-based formulation (lax.top_k over
+[carry ++ tile]) spent 159-262 ms/batch in per-tile sorts; approx_max_k
+selection brings the same retrieval to ~13 ms/batch at the mybank catalog
+(894,820 x 128, B=256, k=100). `method="exact"` keeps the sort-based path
+(the oracle for tests). approx_max_k's per-tile recall target is 0.95 by
+default and misses only scores inside the same PartialReduce bin as the
+k-th best; tests pin observed recall vs the dense oracle.
 """
 
 from __future__ import annotations
@@ -30,13 +36,14 @@ def _score_tile(u_part, items, k_item, b1, k2, b2):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "method"))
 def full_catalog_topk(
     user_repr: jax.Array,  # [B, D] (u_feat_enhance_d1 or _d2)
     item_table: jax.Array,  # [V, D]
     head_params: dict,  # PredictHead params: fc1_kernel/fc1_bias/fc2_kernel/fc2_bias
     k: int = 100,
     tile: int = 8192,
+    method: str = "approx",  # "approx" (TPU PartialReduce) | "exact" (sort)
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (scores [B, k], item_ids [B, k]), best-first."""
     d = user_repr.shape[1]
@@ -62,8 +69,15 @@ def full_catalog_topk(
         ids = jnp.broadcast_to(ids, s.shape)
         # mask catalog padding
         s = jnp.where(ids < v, s, -jnp.inf)
-        cat_s = jnp.concatenate([top_s, s], axis=1)
-        cat_i = jnp.concatenate([top_i, ids], axis=1)
+        if method == "approx" and tile > k:
+            # tile -> k via PartialReduce (no sort), then an exact 2k merge
+            t_s, pos = jax.lax.approx_max_k(s, k)
+            t_i = jnp.take_along_axis(ids, pos, axis=1)
+            cat_s = jnp.concatenate([top_s, t_s], axis=1)
+            cat_i = jnp.concatenate([top_i, t_i], axis=1)
+        else:
+            cat_s = jnp.concatenate([top_s, s], axis=1)
+            cat_i = jnp.concatenate([top_i, ids], axis=1)
         new_s, pos = jax.lax.top_k(cat_s, k)
         new_i = jnp.take_along_axis(cat_i, pos, axis=1)
         return (new_s, new_i), None

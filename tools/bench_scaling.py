@@ -36,9 +36,7 @@ def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
 
     from amid_tpu.config import MeshConfig, ModelConfig
     from amid_tpu.models.amid import build_model
-    from amid_tpu.parallel.mesh import (
-        DATA_AXIS, make_mesh, param_shardings, state_shardings,
-    )
+    from amid_tpu.parallel.mesh import DATA_AXIS, make_mesh, param_shardings
     from amid_tpu.train.steps import TrainState, make_train_step
 
     devices = jax.devices()[:n_devices]
@@ -72,23 +70,28 @@ def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
     }
     tx = optax.adam(5e-4)
 
-    # Initialize the state ALREADY SHARDED (jit + out_shardings): each
-    # device materializes only its row shard of the table/moments. At the
-    # 50M north-star config the table+Adam moments are 3 x 25.6 GB — an
-    # init-then-relayout would transiently double that and OOM the host.
-    def init_state(key):
-        params = model.init({"params": key, "dropout": key}, model_batch,
-                            train=False)["params"]
-        if lazy:
-            from amid_tpu.train.lazy import init_lazy_state
+    # Initialize the state ALREADY SHARDED: params in their own jit with
+    # out_shardings (each device materializes only its row shard of the
+    # table), then the Adam moments eagerly — zeros_like follows the
+    # table's sharding with no transient. At the 50M north-star config the
+    # table+moments are 3 x 25.6 GB; an init-then-relayout (or one jit
+    # holding RNG bits + floats + both zero moments at once) transiently
+    # exceeds host RAM (oom-killed at 122 GB on the first attempt).
+    def init_params(key):
+        return model.init({"params": key, "dropout": key}, model_batch,
+                          train=False)["params"]
 
-            return init_lazy_state(params, tx)
-        return TrainState(params, tx.init(params), None)
-
-    abstract = jax.eval_shape(init_state, key)
-    state = jax.jit(
-        init_state, out_shardings=state_shardings(mesh, abstract)
+    abstract_p = jax.eval_shape(init_params, key)
+    params = jax.jit(
+        init_params, out_shardings=param_shardings(mesh, abstract_p)
     )(key)
+    if lazy:
+        from amid_tpu.train.lazy import init_lazy_state
+
+        state = init_lazy_state(params, tx)
+    else:
+        state = TrainState(params, tx.init(params), None)
+    del params
     bsh = NamedSharding(mesh, P(DATA_AXIS))
     batch_dev = {k: jax.device_put(jnp.asarray(v_), bsh)
                  for k, v_ in batch_arrays.items()}

@@ -72,21 +72,33 @@ def main() -> None:
 
     res = {"batch": a.batch, "k": a.k, "catalog": int(v), "emb_dim": int(d),
            "topk": {}}
-    for tile in (int(t) for t in a.tiles.split(",")):
-        def f(user, table, salt, _tile=tile):
-            s, i = full_catalog_topk(
-                user + 0.0 * salt, table, hp, k=a.k, tile=_tile)
-            return s.sum() + i.sum()
+    for method in ("approx", "exact"):
+        for tile in (int(t) for t in a.tiles.split(",")):
+            def f(user, table, salt, _tile=tile, _m=method):
+                s, i = full_catalog_topk(
+                    user + 0.0 * salt, table, hp, k=a.k, tile=_tile,
+                    method=_m)
+                return s.sum() + i.sum()
 
-        t = device_time(f, (user, table), iters=20)
-        res["topk"][str(tile)] = {
-            "ms_per_batch": t * 1e3,
-            "tflops": flops / t / 1e12,
-            "table_read_gbs": v * d * 4 / t / 1e9,
-        }
-        print(f"topk tile={tile}: {t*1e3:.2f} ms/batch "
-              f"({flops/t/1e12:.1f} TFLOP/s, "
-              f"table read {v*d*4/t/1e9:.0f} GB/s)", flush=True)
+            t = device_time(f, (user, table), iters=20)
+            res["topk"][f"{method}_{tile}"] = {
+                "ms_per_batch": t * 1e3,
+                "tflops": flops / t / 1e12,
+                "table_read_gbs": v * d * 4 / t / 1e9,
+            }
+            print(f"topk {method} tile={tile}: {t*1e3:.2f} ms/batch "
+                  f"({flops/t/1e12:.1f} TFLOP/s, "
+                  f"table read {v*d*4/t/1e9:.0f} GB/s)", flush=True)
+
+    # on-chip recall of the shipping approx path vs the exact path
+    es, ei = full_catalog_topk(user, table, hp, k=a.k, method="exact")
+    as_, ai = full_catalog_topk(user, table, hp, k=a.k, method="approx")
+    ei_np, ai_np = np.asarray(ei), np.asarray(ai)
+    recall = float(np.mean([
+        len(set(ai_np[i]) & set(ei_np[i])) / a.k for i in range(a.batch)
+    ]))
+    res["approx_recall_vs_exact"] = recall
+    print(f"approx recall vs exact: {recall:.4f}", flush=True)
 
     # backbone feature pass (shared by both domains' retrievals)
     def feats(params, s1, s2, salt):
@@ -100,9 +112,10 @@ def main() -> None:
     res["features_ms_per_batch"] = t * 1e3
     print(f"user_representations: {t*1e3:.2f} ms/batch", flush=True)
 
-    best = min(d_["ms_per_batch"] for d_ in res["topk"].values())
+    best = min(d_["ms_per_batch"] for key, d_ in res["topk"].items()
+               if key.startswith("approx_"))
     res["end_to_end_both_domains_ms"] = res["features_ms_per_batch"] + 2 * best
-    print(f"end-to-end (features + 2 domains @ best tile): "
+    print(f"end-to-end (features + 2 domains @ best approx tile): "
           f"{res['end_to_end_both_domains_ms']:.2f} ms/batch", flush=True)
 
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
