@@ -43,7 +43,8 @@ def _timed_fetch(compiled) -> float:
 
 def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
               kernels: str = "auto", lazy: bool = False,
-              phase_b: bool = False, bf16: bool = False) -> float:
+              phase_b: bool = False, bf16: bool = False,
+              batch_size: int = 256) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -52,7 +53,8 @@ def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
     from amid_tpu.models.amid import build_model
     from amid_tpu.train.steps import TrainState, make_train_step
 
-    cfg = _flagship_cfg(item_length=447410, batch_size=256, seq_len=seq_len)
+    cfg = _flagship_cfg(item_length=447410, batch_size=batch_size,
+                        seq_len=seq_len)
     cfg.kernels = kernels
     cfg.use_bf16 = bf16
     model = build_model(cfg)
@@ -245,6 +247,10 @@ if __name__ == "__main__":
     ap.add_argument("--seq_len", type=int, default=20,
                     help="20 = mybank flagship (run.sh); 150 = amazon shape")
     ap.add_argument("--kernels", default="auto")
+    ap.add_argument("--batch", type=int, default=256,
+                    help="step batch size (protocol is 256; larger batches "
+                         "show the capability headroom — the bs-256 fwd+bwd "
+                         "underfills the MXU, docs/PERF.md lazy roofline)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul mode (params stay fp32)")
     ap.add_argument("--phase_b", action="store_true",
@@ -264,7 +270,8 @@ if __name__ == "__main__":
     else:
         eps = bench_tpu(steps=args.steps, seq_len=args.seq_len,
                         kernels=args.kernels, lazy=args.lazy,
-                        phase_b=args.phase_b, bf16=args.bf16)
+                        phase_b=args.phase_b, bf16=args.bf16,
+                        batch_size=args.batch)
         print(json.dumps({
             "metric": "train_examples_per_s",
             "value": round(eps, 1),
