@@ -72,9 +72,15 @@ class ModelConfig:
     # (model_seq.py:286-294). True preserves that quirk for parity; False uses
     # each domain's own ids.
     bert_d2_mask_quirk: bool = True
-    # Numerics: parameters are stored fp32; matmuls run in bf16 on TPU when
-    # use_bf16 is set (MXU-native).
+    # Numerics: parameters are stored fp32. On TPU, f32 matmuls ALREADY run
+    # at bf16 input precision / fp32 accumulate by default (the MXU-native
+    # DEFAULT precision) — measured bit-identical metrics with and without
+    # an explicit bfloat16 context (results/bf16_drive*). use_bf16 therefore
+    # only matters off-TPU; matmul_precision overrides the jax precision
+    # context explicitly ("", "bfloat16", "highest"/"float32" = true-fp32
+    # 3-pass matmuls — the expensive direction worth measuring).
     use_bf16: bool = False
+    matmul_precision: str = ""
     # Kernel selection: "xla" (let XLA fuse) or "pallas" (custom TPU kernels)
     # for the hot ops. "auto" uses pallas on TPU backends, xla elsewhere.
     kernels: str = "auto"
@@ -251,6 +257,10 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_root", type=str, default="/root/reference")
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--kernels", type=str, default="auto")
+    p.add_argument("--matmul_precision", type=str, default="",
+                   choices=["", "bfloat16", "highest", "float32"],
+                   help="jax matmul precision override; TPU default is "
+                        "already bf16-input/fp32-accumulate")
     p.add_argument("--profile_steps", type=int, default=0)
     p.add_argument("--bf16", type=_parse_bool, default=False)
     p.add_argument("--lazy_table_adam", type=_parse_bool, default=False)
@@ -300,6 +310,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         is_c2dsr=a.isC2DSR,
         kernels=a.kernels,
         use_bf16=a.bf16,
+        matmul_precision=a.matmul_precision,
     )
     data = DataConfig(
         dataset_type=a.dataset_type,

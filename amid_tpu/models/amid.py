@@ -50,11 +50,15 @@ class AMIDModel(nn.Module):
         catalog) — instead of candidate logits."""
         cfg = self.cfg
         fn = self._features if features_only else self._forward
-        if cfg.use_bf16:
-            # run every matmul at bf16 input precision (fp32 accumulate on
-            # the MXU); params/activations stay fp32 so optimizer state and
-            # loss numerics are unchanged
-            with jax.default_matmul_precision("bfloat16"):
+        # On TPU, f32 matmuls already run at bf16 input precision / fp32
+        # accumulate by default (MXU-native DEFAULT precision) — an explicit
+        # "bfloat16" context is a measured no-op there (bit-identical
+        # metrics, results/bf16_drive*). use_bf16 keeps that opt-in for
+        # non-TPU backends; matmul_precision overrides explicitly (e.g.
+        # "highest" forces true-fp32 3-pass matmuls).
+        precision = cfg.matmul_precision or ("bfloat16" if cfg.use_bf16 else "")
+        if precision:
+            with jax.default_matmul_precision(precision):
                 return fn(batch, train)
         return fn(batch, train)
 

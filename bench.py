@@ -44,7 +44,7 @@ def _timed_fetch(compiled) -> float:
 def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
               kernels: str = "auto", lazy: bool = False,
               phase_b: bool = False, bf16: bool = False,
-              batch_size: int = 256) -> float:
+              batch_size: int = 256, matmul_precision: str = "") -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -57,6 +57,7 @@ def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
                         seq_len=seq_len)
     cfg.kernels = kernels
     cfg.use_bf16 = bf16
+    cfg.matmul_precision = matmul_precision
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _make_batch(cfg, num_neg=1, rng=rng)
@@ -252,7 +253,11 @@ if __name__ == "__main__":
                          "show the capability headroom — the bs-256 fwd+bwd "
                          "underfills the MXU, docs/PERF.md lazy roofline)")
     ap.add_argument("--bf16", action="store_true",
-                    help="bf16 matmul mode (params stay fp32)")
+                    help="bf16 matmul mode (no-op on TPU: DEFAULT precision "
+                         "is already bf16-input/fp32-acc — docs/PERF.md)")
+    ap.add_argument("--matmul_precision", default="",
+                    help="explicit precision context; 'highest' = true-fp32 "
+                         "3-pass matmuls (the expensive direction)")
     ap.add_argument("--phase_b", action="store_true",
                     help="measure the DR phase-B (dr_r/optimizer2) step")
     ap.add_argument("--lazy", dest="lazy", action="store_true", default=True,
@@ -271,7 +276,8 @@ if __name__ == "__main__":
         eps = bench_tpu(steps=args.steps, seq_len=args.seq_len,
                         kernels=args.kernels, lazy=args.lazy,
                         phase_b=args.phase_b, bf16=args.bf16,
-                        batch_size=args.batch)
+                        batch_size=args.batch,
+                        matmul_precision=args.matmul_precision)
         print(json.dumps({
             "metric": "train_examples_per_s",
             "value": round(eps, 1),
