@@ -81,6 +81,10 @@ class ModelConfig:
     # 3-pass matmuls — the expensive direction worth measuring).
     use_bf16: bool = False
     matmul_precision: str = ""
+    # Rematerialize encoder-block internals in the backward (nn.remat):
+    # trades recompute for activation memory; for big-batch / 50M-row-table
+    # configs (docs/PERF.md). Param tree unchanged.
+    remat: bool = False
     # Kernel selection: "xla" (let XLA fuse) or "pallas" (custom TPU kernels)
     # for the hot ops. "auto" uses pallas on TPU backends, xla elsewhere.
     kernels: str = "auto"
@@ -257,6 +261,9 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_root", type=str, default="/root/reference")
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--kernels", type=str, default="auto")
+    p.add_argument("--remat", type=_parse_bool, default=False,
+                   help="rematerialize encoder blocks in the backward "
+                        "(activation memory <-> recompute)")
     p.add_argument("--matmul_precision", type=str, default="",
                    choices=["", "bfloat16", "highest", "float32"],
                    help="jax matmul precision override; TPU default is "
@@ -311,6 +318,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         kernels=a.kernels,
         use_bf16=a.bf16,
         matmul_precision=a.matmul_precision,
+        remat=a.remat,
     )
     data = DataConfig(
         dataset_type=a.dataset_type,

@@ -137,11 +137,11 @@ class AMIDModel(nn.Module):
             enc_len = cfg.enc_seq_len
             seq_d1 = SasrecEncoder(
                 enc_len, cfg.sasrec_blocks, cfg.sasrec_heads, cfg.sasrec_dropout,
-                cfg.kernels, name="enc_d1",
+                cfg.kernels, cfg.remat, name="enc_d1",
             )(seq_d1, det)
             seq_d2 = SasrecEncoder(
                 enc_len, cfg.sasrec_blocks, cfg.sasrec_heads, cfg.sasrec_dropout,
-                cfg.kernels, name="enc_d2",
+                cfg.kernels, cfg.remat, name="enc_d2",
             )(seq_d2, det)
             seq_d1, seq_d2 = self._apply_itc(seq_d1, seq_d2)
         elif cfg.backbone == "bert4rec":

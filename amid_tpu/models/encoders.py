@@ -155,10 +155,21 @@ class SasrecEncoder(nn.Module):
     num_heads: int = 8
     dropout: float = 0.5
     kernels: str = "xla"
+    # Rematerialize attention/FFN internals in the backward (jax.checkpoint
+    # via nn.remat): trades recompute FLOPs for activation memory — needed
+    # for the big-batch / 50M-row configs (docs/PERF.md scaling section).
+    # Param tree is unchanged (lifted transform keeps module names).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
         b, t, d = x.shape
+        mha, ffn = TorchMultiheadAttention, PointWiseFeedForward
+        if self.remat:
+            # static_argnums count self as 0 (flax lifted-transform rule);
+            # `deterministic` drives python control flow so it must be static
+            mha = nn.remat(TorchMultiheadAttention, static_argnums=(5,))
+            ffn = nn.remat(PointWiseFeedForward, static_argnums=(2,))
         pos = self.param("pos_emb", torch_embedding_init, (self.seq_len, d))
         x = x + pos[None, :t, :]
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -166,14 +177,14 @@ class SasrecEncoder(nn.Module):
         causal = jnp.triu(jnp.full((t, t), NEG_INF, jnp.float32), k=1)[None, None]
         for i in range(self.num_blocks):
             q = TorchLayerNorm(eps=1e-8, name=f"attn_ln_{i}")(x)
-            a = TorchMultiheadAttention(
+            a = mha(
                 self.num_heads, self.dropout, self.kernels, name=f"attn_{i}"
             )(q, x, x, causal, deterministic)
             # Residual adds onto the normalized Q (model_seq.py:378) — a
             # reference quirk kept for parity.
             x = q + a
             x = TorchLayerNorm(eps=1e-8, name=f"ffn_ln_{i}")(x)
-            x = PointWiseFeedForward(self.dropout, name=f"ffn_{i}")(x, deterministic)
+            x = ffn(self.dropout, name=f"ffn_{i}")(x, deterministic)
         return TorchLayerNorm(eps=1e-8, name="last_ln")(x)
 
 

@@ -108,3 +108,31 @@ def test_head_split_kernel_equals_concat(rng):
 
     np.testing.assert_allclose(np.asarray(l1), ref(u1), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(l2), ref(u2), rtol=1e-5, atol=1e-6)
+
+
+def test_remat_is_semantics_preserving(rng):
+    """cfg.remat rematerializes attention/FFN internals (nn.remat) — the
+    param tree, forward (incl. the dropout PRNG replay in train mode), and
+    gradients must be identical to the non-remat model; only backward
+    memory changes (tools/exp_50m_phases.py, docs/PERF.md scaling)."""
+    cfg = tiny_cfg(is_itc=True, is_dr=True)
+    cfg_r = tiny_cfg(is_itc=True, is_dr=True, remat=True)
+    m, mr = build_model(cfg), build_model(cfg_r)
+    batch = make_batch(cfg, 2, rng)
+    key = jax.random.PRNGKey(0)
+    p = m.init({"params": key, "dropout": key}, batch, train=False)["params"]
+    pr = mr.init({"params": key, "dropout": key}, batch, train=False)["params"]
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(pr)
+
+    def loss(model, params):
+        out = model.apply({"params": params}, batch, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(7)})
+        return (out["logits_d1"].sum() + out["logits_d2"].sum()
+                + out["ips_d1"].sum() + out["gfunc_d1"].sum())
+
+    l0, g0 = jax.value_and_grad(lambda q: loss(m, q))(p)
+    l1, g1 = jax.value_and_grad(lambda q: loss(mr, q))(p)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)

@@ -28,7 +28,7 @@ import numpy as np
 
 
 def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
-             seq_len: int, lazy: bool = False) -> float:
+             seq_len: int, lazy: bool = False, remat: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -45,6 +45,7 @@ def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
         backbone="sasrec", emb_dim=128, hid_dim=32, seq_len=seq_len,
         batch_size=batch, is_itc=True, ts2=0.4, is_dr=True,
         item_length=items // 2, user_length=items // 2, kernels="xla",
+        remat=remat,
     )
     model = build_model(cfg)
     rng = np.random.default_rng(0)
@@ -130,6 +131,9 @@ if __name__ == "__main__":
                          "fitting single-chip table, SURVEY §7)")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--seq_len", type=int, default=20)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize encoder blocks (activation memory "
+                         "<-> recompute; the batch-8192 50M config needs it)")
     ap.add_argument("--lazy", action="store_true",
                     help="lazy table Adam (the production big-table config: "
                          "no dense table grad; required to fit 50M rows)")
@@ -164,13 +168,15 @@ if __name__ == "__main__":
                 continue
             bs = a.batch * (n // mp) if a.weak else a.batch
             try:
-                eps = run_mesh(n, mp, items, bs, a.seq_len, lazy=a.lazy)
+                eps = run_mesh(n, mp, items, bs, a.seq_len, lazy=a.lazy,
+               remat=a.remat)
             except Exception as e:  # noqa: BLE001 — OOM ends the sweep
                 print(f"devices={n} items={items:,}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
                 break
             row = dict(devices=n, model_par=mp, items=items, batch=bs,
-                       lazy=a.lazy, examples_per_s=round(eps, 1))
+                       lazy=a.lazy, remat=a.remat,
+                       examples_per_s=round(eps, 1))
             results.append(row)
             print(
                 f"devices={n} mesh=({n // mp}x{mp} dp x tp) items={items:,} "
