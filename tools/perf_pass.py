@@ -52,7 +52,52 @@ def step_suite(steps: int) -> dict:
         ms = 256.0 / eps * 1000.0
         out[name] = {"examples_per_s": round(eps, 1), "ms_per_step": round(ms, 2)}
         print(f"A {name}: {eps:,.0f} ex/s ({ms:.2f} ms/step)", flush=True)
+    out["mybank_eval_999negs"] = eval_step_time()
     return out
+
+
+def eval_step_time() -> dict:
+    """Eval-pass cost at the protocol config (999 negatives): the 50-epoch
+    runs alternate train epochs with this, so it belongs in the step table.
+    device_time loop (robust to host load)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_cfg, _make_batch
+    from amid_tpu.models.amid import build_model
+    from amid_tpu.train.steps import make_eval_step
+
+    cfg = _flagship_cfg(item_length=447410, batch_size=256, seq_len=20)
+    cfg.kernels = "auto"
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(cfg, num_neg=1, rng=rng)
+    batch["domain_id"] = jnp.asarray(rng.integers(0, 2, 256, dtype=np.int32))
+    batch["reject"] = jnp.full((256, 4), cfg.item_table_size, jnp.int32)
+    batch["reject_counts"] = jnp.zeros((256,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key}, batch, train=False)[
+        "params"]
+    v = cfg.item_table_size
+    pools = jnp.stack([jnp.arange(v, dtype=jnp.int32)] * 2)
+    pool_sizes = jnp.array([v, v], jnp.int32)
+    ev = make_eval_step(model, 999)
+
+    def f(params, s1, salt):
+        b = dict(batch)
+        b["seq_d1"] = s1 + 0 * salt.astype(jnp.int32)
+        # fold the salt into the key so the negative draws stay loop-variant
+        # (a constant key would let XLA hoist sampling out of the scan)
+        k = jax.random.fold_in(jax.random.PRNGKey(3), salt.astype(jnp.int32))
+        r = ev(params, b, pools, pool_sizes, k)
+        return (r["loss_cls"] + r["ranks_fixed"].sum()
+                + r["ranks_raw"].sum())
+
+    t = device_time(f, (params, batch["seq_d1"]), iters=20)
+    eps = 256.0 / t
+    print(f"A mybank_eval_999negs: {eps:,.0f} ex/s ({t*1e3:.2f} ms/step)",
+          flush=True)
+    return {"examples_per_s": round(eps, 1), "ms_per_step": round(t * 1e3, 2)}
 
 
 def breakdown() -> dict:
