@@ -85,3 +85,29 @@ def test_user_representations_shapes(rng):
     # consistent with the pooled features used by the scoring forward
     out = model.apply({"params": params}, batch, train=False)
     assert np.isfinite(np.asarray(out["logits_d1"])).all()
+
+def test_topk_sharded_table_matches_unsharded(rng):
+    """Serving over a ROW-SHARDED catalog (the 50M-scale layout): the tiled
+    top-K runs unchanged under GSPMD with the table sharded over `model` —
+    ids and scores bit-equal to the unsharded call. Extends serve.py to the
+    sharded-table deployments demonstrated by results/scaling_50m.json."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from amid_tpu.config import MeshConfig
+    from amid_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(MeshConfig(model_axis=8), devices=jax.devices())
+    b, d, h, v, k = 8, 16, 8, 4096, 20
+    user = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    head = {
+        "fc1_kernel": jnp.asarray(rng.normal(size=(2 * d, h)).astype(np.float32) * 0.1),
+        "fc1_bias": jnp.zeros(h, jnp.float32),
+        "fc2_kernel": jnp.asarray(rng.normal(size=(h, 1)).astype(np.float32) * 0.1),
+        "fc2_bias": jnp.zeros(1, jnp.float32),
+    }
+    sharded = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    s1, i1 = full_catalog_topk(user, sharded, head, k=k, tile=512)
+    s2, i2 = full_catalog_topk(user, table, head, k=k, tile=512)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
