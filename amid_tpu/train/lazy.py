@@ -91,6 +91,7 @@ def _make_lazy_step(
     b2: float,
     eps: float,
     kernels: str = "xla",
+    fused_scatter: bool = False,
 ) -> Callable:
     """Shared lazy-step skeleton. loss_builder(out, labels, batch) ->
     (loss, metrics); slot selects which optimizer state (1 = opt_state,
@@ -177,9 +178,17 @@ def _make_lazy_step(
         mhat = mu_new / (1.0 - b1**c)
         vhat = nu_new / (1.0 - b2**c)
         upd = lr * mhat / (jnp.sqrt(vhat) + eps)
-        table_new = scatter_add_neg(table, uids, rows, upd)
-        mu_t = scatter_set(opt.mu, uids, mu_new)
-        nu_t = scatter_set(opt.nu, uids, nu_new)
+        if kernels == "pallas" and fused_scatter:
+            # one kernel, 3xN DMAs in a single issue window (A/B in
+            # docs/PERF.md; three-call path is the measured default)
+            from amid_tpu.ops.pallas_scatter import scatter_set_unique3_pallas
+
+            table_new, mu_t, nu_t = scatter_set_unique3_pallas(
+                table, opt.mu, opt.nu, uids, rows - upd, mu_new, nu_new)
+        else:
+            table_new = scatter_add_neg(table, uids, rows, upd)
+            mu_t = scatter_set(opt.mu, uids, mu_new)
+            nu_t = scatter_set(opt.nu, uids, nu_new)
 
         params_new = dict(dense_new)
         params_new[TABLE_KEY] = table_new
@@ -203,6 +212,7 @@ def make_lazy_train_step(
     b2: float = 0.999,
     eps: float = 1e-8,
     kernels: str = "xla",
+    fused_scatter: bool = False,
 ) -> Callable:
     """Phase-A step (masked BCE, + dr_e_w * dr_e when DR) on optimizer 1."""
     is_dr = dr_e_w is not None
@@ -221,7 +231,7 @@ def make_lazy_train_step(
         return loss, metrics
 
     return _make_lazy_step(model, tx_dense, lr, loss_builder, 1, b1, b2, eps,
-                           kernels)
+                           kernels, fused_scatter)
 
 
 def make_lazy_dr_r_step(
@@ -232,6 +242,7 @@ def make_lazy_dr_r_step(
     b2: float = 0.999,
     eps: float = 1e-8,
     kernels: str = "xla",
+    fused_scatter: bool = False,
 ) -> Callable:
     """Phase-B step (train_sr_dr.py:363-403): imputation/propensity heads on
     observed+unobserved rows, optimizer2 — with lazy table updates against
@@ -244,4 +255,4 @@ def make_lazy_dr_r_step(
         return loss, {"loss_dr_r": loss}
 
     return _make_lazy_step(model, tx2_dense, lr2, loss_builder, 2, b1, b2, eps,
-                           kernels)
+                           kernels, fused_scatter)

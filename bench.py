@@ -44,7 +44,8 @@ def _timed_fetch(compiled) -> float:
 def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
               kernels: str = "auto", lazy: bool = False,
               phase_b: bool = False, bf16: bool = False,
-              batch_size: int = 256, matmul_precision: str = "") -> float:
+              batch_size: int = 256, matmul_precision: str = "",
+              fused_scatter: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -90,10 +91,12 @@ def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
         state = init_lazy_state(params, tx, tx2 if phase_b else None)
         step = (
             make_lazy_dr_r_step(model, tx2, 5e-4 * 0.01,
-                                kernels=model.cfg.kernels)
+                                kernels=model.cfg.kernels,
+                                fused_scatter=fused_scatter)
             if phase_b
             else make_lazy_train_step(model, tx, 5e-4, dr_e_w=0.01,
-                                      kernels=model.cfg.kernels)
+                                      kernels=model.cfg.kernels,
+                                      fused_scatter=fused_scatter)
         )
     else:
         from amid_tpu.train.steps import make_dr_r_step
@@ -255,6 +258,9 @@ if __name__ == "__main__":
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul mode (no-op on TPU: DEFAULT precision "
                          "is already bf16-input/fp32-acc — docs/PERF.md)")
+    ap.add_argument("--fused_scatter", action="store_true",
+                    help="one fused 3-array pallas scatter instead of three "
+                         "kernel calls (A/B in docs/PERF.md)")
     ap.add_argument("--matmul_precision", default="",
                     help="explicit precision context; 'highest' = true-fp32 "
                          "3-pass matmuls (the expensive direction)")
@@ -277,7 +283,8 @@ if __name__ == "__main__":
                         kernels=args.kernels, lazy=args.lazy,
                         phase_b=args.phase_b, bf16=args.bf16,
                         batch_size=args.batch,
-                        matmul_precision=args.matmul_precision)
+                        matmul_precision=args.matmul_precision,
+                        fused_scatter=args.fused_scatter)
         print(json.dumps({
             "metric": "train_examples_per_s",
             "value": round(eps, 1),

@@ -61,3 +61,25 @@ def test_scatter_set_3d_rows(rng):
         if 0 <= idx < v:
             want[idx] = np.asarray(rows)[i]
     np.testing.assert_array_equal(got, want)
+
+
+def test_scatter3_fused_matches_three_calls(rng):
+    """Fused 3-array scatter (one kernel, 3xN DMAs in one issue window) vs
+    three independent scatter_set calls — identical results incl. sentinel
+    drops and a non-tile-multiple row count."""
+    from amid_tpu.ops.pallas_scatter import scatter_set_unique3_pallas
+
+    v, d, n = 64, 128, 37
+    t = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    m = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    nn_ = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    ids = np.sort(rng.permutation(v)[: n - 2].astype(np.int32))
+    ids = jnp.asarray(np.concatenate([ids, [v, v]]))  # sentinel tail
+    tr = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    mr = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    nr = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        gt, gm, gn = scatter_set_unique3_pallas(t, m, nn_, ids, tr, mr, nr)
+    np.testing.assert_array_equal(np.asarray(gt), _oracle(t, ids, tr))
+    np.testing.assert_array_equal(np.asarray(gm), _oracle(m, ids, mr))
+    np.testing.assert_array_equal(np.asarray(gn), _oracle(nn_, ids, nr))

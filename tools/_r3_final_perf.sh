@@ -12,6 +12,16 @@ timeout 1800 python tools/bench_serve.py > results/serve_bench.out 2>&1
 # full perf_pass (steps incl. the new eval row, breakdown, lazy, hlo)
 timeout 3600 python tools/perf_pass.py > results/perf_pass_r3.out 2>&1
 
+# fused 3-array scatter A/B (kernels=pallas lazy step)
+{
+  echo "three-call pallas (shipping):"
+  timeout 1200 python bench.py --seq_len 20 --kernels pallas 2>&1 | tail -1
+  echo "fused scatter3:"
+  timeout 1200 python bench.py --seq_len 20 --kernels pallas --fused_scatter 2>&1 | tail -1
+  echo "fused scatter3 phase_b:"
+  timeout 1200 python bench.py --seq_len 20 --kernels pallas --phase_b --fused_scatter 2>&1 | tail -1
+} > results/bench_fused_scatter.out 2>&1
+
 # batch-size capability sweep
 {
   for B in 512 1024 2048; do
