@@ -180,6 +180,7 @@ class TrainConfig:
     lr2: float = 0.01  # DR phase-B lr multiplier: optimizer2 lr = lr*lr2 (train_sr_dr.py:669)
     dr_e_w: float = 0.1  # weight on loss_dr_e in phase A (train_sr_dr.py:221)
     seeds: int = 5  # 5-seed protocol (train_sr.py:439)
+    seed_offset: int = 0  # first seed index (extend a committed 3-seed table to 5)
     overlap_eval: bool = False  # bucket metrics by overlap users (train_sr.py:75)
     model_dir: str = "model/"
     log_every: int = 20  # log train loss every N steps (train_sr.py:218)
@@ -260,6 +261,9 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
                    help="C2DSR contrastive loss weight")
     p.add_argument("--data_root", type=str, default="/root/reference")
     p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--seed_offset", type=int, default=0,
+                   help="first seed index; seeds run in "
+                        "[seed_offset, seed_offset+seeds)")
     p.add_argument("--kernels", type=str, default="auto")
     p.add_argument("--remat", type=_parse_bool, default=False,
                    help="rematerialize encoder blocks in the backward "
@@ -335,6 +339,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         lr2=a.lr2,
         dr_e_w=a.dr_e_w,
         seeds=a.seeds,
+        seed_offset=a.seed_offset,
         overlap_eval=a.overlap,
         model_dir=a.model_dir,
         profile_steps=a.profile_steps,

@@ -414,7 +414,7 @@ def run(cfg: TrainConfig) -> dict[str, dict]:
     )
 
     per_seed = []
-    for seed in range(cfg.seeds):
+    for seed in range(cfg.seed_offset, cfg.seed_offset + cfg.seeds):
         slog = init_logger(cfg.model_dir, f"log{seed}.txt")
         best = run_seed(cfg, seed, train_ds, val_ds, dr_ds, log=slog)
         per_seed.append(best)

@@ -64,3 +64,26 @@ def _cfg(tmp_path, **model_kw):
         model_dir=str(tmp_path), checkpoint=False,
         model=model, data=DataConfig(neg_nums=5),
     )
+
+
+def test_seed_offset_runs_requested_seeds(tmp_path, rng, monkeypatch):
+    """--seed_offset extends a committed 3-seed table: run() must train
+    exactly seeds [offset, offset+seeds) and name logs by absolute seed."""
+    import amid_tpu.train.loop as loop_mod
+
+    train, val = synth_dataset(rng, n_rows=64), synth_dataset(rng, n_rows=32)
+    # run() loads train then val CSVs; return the synthetic packs in order.
+    calls = []
+    def fake_load(*a, **kw):
+        calls.append(a)
+        return train if len(calls) == 1 else val
+    monkeypatch.setattr(loop_mod, "load_dual_domain_csv", fake_load)
+
+    cfg = _cfg(tmp_path)
+    cfg.epochs = 1
+    cfg.seeds = 1
+    cfg.seed_offset = 3
+    agg = loop_mod.run(cfg)
+    assert (tmp_path / "log3.txt").exists()
+    assert not (tmp_path / "log0.txt").exists()
+    assert "mrr_d1" in agg
