@@ -168,3 +168,27 @@ def test_prepare_raw_pipeline(tmp_path):
         assert f.readline().strip() == "user_id,seq_d1,seq_d2,domain_id"
     ds = load_dual_domain_csv(str(tmp_path / "out_train100.csv"), 6, 999)
     assert len(ds) == 2
+
+
+def test_pooled_seed_aggregate_is_exact():
+    """report_results.merge_aggregates reconstructs the mean/std over the
+    union of seeds exactly from per-dir (mean, population-std) blocks —
+    the 3-seed + 2-seed -> 5-seed protocol upgrade path."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from report_results import merge_aggregates
+
+    rng = np.random.default_rng(0)
+    a, b = rng.normal(size=3), rng.normal(size=2)
+    groups = [
+        (3, {"mrr_d1": (float(a.mean()), float(a.std()))}),
+        (2, {"mrr_d1": (float(b.mean()), float(b.std()))}),
+    ]
+    got = merge_aggregates(groups)["mrr_d1"]
+    full = np.concatenate([a, b])
+    assert got[0] == pytest.approx(full.mean(), abs=1e-12)
+    assert got[1] == pytest.approx(full.std(), abs=1e-12)

@@ -28,6 +28,58 @@ def parse_log_all(path: Path) -> dict[str, tuple[float, float]]:
     return out
 
 
+def count_seeds(run_dir: Path) -> int:
+    return len([f for f in run_dir.glob("log*.txt") if f.name != "log_all.txt"])
+
+
+def merge_aggregates(
+    groups: list[tuple[int, dict[str, tuple[float, float]]]],
+) -> dict[str, tuple[float, float]]:
+    """Exactly pool per-dir (mean, std) aggregates into one.
+
+    aggregate_seeds uses np.std with ddof=0 (population), so the pooled
+    moments reconstruct the std over the union of seeds exactly:
+      E[x] = sum(n_i * m_i) / N,  E[x^2] = sum(n_i * (s_i^2 + m_i^2)) / N.
+    Used to extend a committed 3-seed table with a seeds 3-4 run
+    (--seed_offset) into the reference's 5-seed protocol (train_sr.py:439).
+    """
+    keys = sorted({k for _, m in groups for k in m})
+    out = {}
+    for k in keys:
+        have = [(n, m[k]) for n, m in groups if k in m]
+        N = sum(n for n, _ in have)
+        mean = sum(n * mu for n, (mu, _) in have) / N
+        ex2 = sum(n * (sd * sd + mu * mu) for n, (mu, sd) in have) / N
+        out[k] = (mean, float(max(ex2 - mean * mean, 0.0)) ** 0.5)
+    return out
+
+
+def print_table(metrics: dict[str, tuple[float, float]], title: str) -> None:
+    suffixes = sorted({k.split("_", 2)[-1] for k in metrics if k.startswith("hit_1_")})
+    print(f"## {title}\n")
+    print("| metric | " + " | ".join(suffixes) + " |")
+    print("|---|" + "---|" * len(suffixes))
+    for base in HEADLINE:
+        row = [base]
+        for sfx in suffixes:
+            v = metrics.get(f"{base}_{sfx}")
+            row.append(f"{v[0]:.4f}±{v[1]:.4f}" if v else "—")
+        print("| " + " | ".join(row) + " |")
+    eps = metrics.get("examples_per_s")
+    if eps:
+        print(f"\ntraining examples/s (mean over seeds): {eps[0]:,.0f}")
+
+
+def merge_main(run_dirs: list[str]) -> None:
+    groups = []
+    for d in run_dirs:
+        p = Path(d)
+        groups.append((count_seeds(p), parse_log_all(p / "log_all.txt")))
+    n_total = sum(n for n, _ in groups)
+    merged = merge_aggregates(groups)
+    print_table(merged, f"{' + '.join(run_dirs)} (pooled, {n_total} seeds)")
+
+
 def main(run_dir: str) -> None:
     metrics = parse_log_all(Path(run_dir) / "log_all.txt")
     if not metrics:
@@ -49,4 +101,7 @@ def main(run_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "results/loan_account_base/")
+    if len(sys.argv) > 2 and sys.argv[1] == "--merge":
+        merge_main(sys.argv[2:])
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "results/loan_account_base/")
