@@ -26,13 +26,19 @@ import jax.numpy as jnp
 
 
 def _score_tile(u_part, items, k_item, b1, k2, b2):
-    """u_part [B, H]; items [T, D] -> scores [B, T]."""
+    """u_part [B, H]; items [T, D] -> scores [B, T].
+
+    The H-contraction is written as multiply+sum, NOT einsum/dot_general:
+    a dot forces the [B, T, H] relu hidden to materialize in HBM (268 MB
+    per 8192-tile — measured 43.7 ms/batch at the mybank catalog), while
+    the explicit reduce fuses the whole broadcast+relu+weighted-sum chain
+    into one tile-local loop (scores only touch HBM). Same math as
+    PredictHead/model_seq.py:32-54."""
     i_part = jnp.einsum("td,dh->th", items, k_item,
                         preferred_element_type=jnp.float32)
     hidden = jax.nn.relu(u_part[:, None, :] + i_part[None, :, :] + b1)
     return jax.nn.sigmoid(
-        jnp.einsum("bth,ho->bto", hidden, k2,
-                   preferred_element_type=jnp.float32)[..., 0] + b2[0]
+        jnp.sum(hidden * k2[None, None, :, 0], axis=-1) + b2[0]
     )
 
 
