@@ -91,7 +91,7 @@ def _make_lazy_step(
     b2: float,
     eps: float,
     kernels: str = "xla",
-    fused_scatter: bool = False,
+    fused_scatter: bool = True,
 ) -> Callable:
     """Shared lazy-step skeleton. loss_builder(out, labels, batch) ->
     (loss, metrics); slot selects which optimizer state (1 = opt_state,
@@ -179,8 +179,11 @@ def _make_lazy_step(
         vhat = nu_new / (1.0 - b2**c)
         upd = lr * mhat / (jnp.sqrt(vhat) + eps)
         if kernels == "pallas" and fused_scatter:
-            # one kernel, 3xN DMAs in a single issue window (A/B in
-            # docs/PERF.md; three-call path is the measured default)
+            # one kernel, 3xN DMAs in a single issue window — the measured
+            # default since the round-3 device-loop A/B: 49,939 vs 48,933
+            # ex/s (train) and 49,735 vs 49,079 (phase B) against the
+            # three-call path, same run (results/bench_device_loop.out;
+            # --fused_scatter/-no flag in bench.py, docs/PERF.md)
             from amid_tpu.ops.pallas_scatter import scatter_set_unique3_pallas
 
             table_new, mu_t, nu_t = scatter_set_unique3_pallas(
@@ -212,7 +215,7 @@ def make_lazy_train_step(
     b2: float = 0.999,
     eps: float = 1e-8,
     kernels: str = "xla",
-    fused_scatter: bool = False,
+    fused_scatter: bool = True,
 ) -> Callable:
     """Phase-A step (masked BCE, + dr_e_w * dr_e when DR) on optimizer 1."""
     is_dr = dr_e_w is not None
@@ -242,7 +245,7 @@ def make_lazy_dr_r_step(
     b2: float = 0.999,
     eps: float = 1e-8,
     kernels: str = "xla",
-    fused_scatter: bool = False,
+    fused_scatter: bool = True,
 ) -> Callable:
     """Phase-B step (train_sr_dr.py:363-403): imputation/propensity heads on
     observed+unobserved rows, optimizer2 — with lazy table updates against

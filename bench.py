@@ -45,7 +45,7 @@ def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
               kernels: str = "auto", lazy: bool = False,
               phase_b: bool = False, bf16: bool = False,
               batch_size: int = 256, matmul_precision: str = "",
-              fused_scatter: bool = False) -> float:
+              fused_scatter: bool = False, device_loop: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -121,6 +121,33 @@ def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
     _c = _noop.lower(jnp.float32(0)).compile()
     float(_c(jnp.float32(0)))  # warmup
     rtt = min(_timed_fetch(_c) for _ in range(5))
+
+    if device_loop:
+        # Steady-state on-device loop: lax.scan carries the TrainState, so
+        # the host dispatches ONE program for all `steps` steps. Immune to
+        # host load / dispatch starvation (CLAUDE.md host-load note) and to
+        # the per-step tunnel dispatch cost — the robust way to time the
+        # step while anything CPU-heavy shares the 2-core host. Per-step
+        # keys fold the scan index, matching the host loop's stream shape.
+        def body(s, i):
+            s2, m = step(s, batch, pools, pool_sizes,
+                         jax.random.fold_in(key, 100 + i))
+            return s2, m[loss_key]
+
+        @jax.jit
+        def loop(s):
+            _, losses = jax.lax.scan(body, s, jnp.arange(steps))
+            return losses[-1]
+
+        compiled = loop.lower(state).compile()
+        float(compiled(state))  # warmup; host fetch = true completion
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(compiled(state))
+            dts.append(time.perf_counter() - t0)
+        dt = max(min(dts) - rtt, 1e-9)
+        return steps * cfg.batch_size / dt
 
     t0 = time.perf_counter()
     for i in range(steps):
@@ -258,14 +285,28 @@ if __name__ == "__main__":
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul mode (no-op on TPU: DEFAULT precision "
                          "is already bf16-input/fp32-acc — docs/PERF.md)")
-    ap.add_argument("--fused_scatter", action="store_true",
+    ap.add_argument("--fused_scatter", dest="fused_scatter",
+                    action="store_true", default=True,
                     help="one fused 3-array pallas scatter instead of three "
-                         "kernel calls (A/B in docs/PERF.md)")
+                         "kernel calls (default since the round-3 device-"
+                         "loop A/B — docs/PERF.md)")
+    ap.add_argument("--no_fused_scatter", dest="fused_scatter",
+                    action="store_false",
+                    help="three-call scatter path (the A/B control)")
     ap.add_argument("--matmul_precision", default="",
                     help="explicit precision context; 'highest' = true-fp32 "
                          "3-pass matmuls (the expensive direction)")
     ap.add_argument("--phase_b", action="store_true",
                     help="measure the DR phase-B (dr_r/optimizer2) step")
+    ap.add_argument("--device_loop", dest="device_loop", action="store_true",
+                    default=True,
+                    help="time a lax.scan of the step on device (default: "
+                         "load-robust, no per-step host dispatch; the honest "
+                         "steady-state TPU number — see CLAUDE.md host-load "
+                         "note)")
+    ap.add_argument("--host_loop", dest="device_loop", action="store_false",
+                    help="legacy host-dispatched timing loop (async pipeline;"
+                         " measures the 2-core host under load, not the chip)")
     ap.add_argument("--lazy", dest="lazy", action="store_true", default=True,
                     help="sparse table updates (train/lazy.py; default — the "
                          "best honest flagship config, same losses/model)")
@@ -284,7 +325,8 @@ if __name__ == "__main__":
                         phase_b=args.phase_b, bf16=args.bf16,
                         batch_size=args.batch,
                         matmul_precision=args.matmul_precision,
-                        fused_scatter=args.fused_scatter)
+                        fused_scatter=args.fused_scatter,
+                        device_loop=args.device_loop)
         print(json.dumps({
             "metric": "train_examples_per_s",
             "value": round(eps, 1),
