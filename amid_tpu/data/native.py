@@ -73,9 +73,12 @@ def _load():
 def pack_csv_native(path: str, with_ob_label: bool, seq_len: int,
                     pad_id: int, long_length: int):
     """CSV -> PackedDualDomainDataset entirely in C++ (parse + pack): the
-    ctypes lists-of-lists reboxing plus the python pack loop cost ~45x the
-    native parse itself (tools/bench_parser.py). Returns None when the
-    native lib is unavailable (caller falls back to the python path)."""
+    old binding's ctypes lists-of-lists reboxing plus the python pack loop
+    cost ~44x the native parse alone (70+370 ms vs ~10 ms on the 27k-row
+    mybank split), so parse+pack moved fully into C++; end to end the
+    native path is 4.3-8.3x the pure-python path (tools/bench_parser.py
+    table). Returns None when the native lib is unavailable (caller falls
+    back to the python path)."""
     lib = _load()
     if lib is None:
         return None

@@ -247,7 +247,8 @@ def load_dual_domain_csv(
     domain's sequences and pool)."""
     if subdomain is None:
         # full-native path: parse + pack in C++ (exact pack_rows semantics,
-        # tested bit-for-bit in test_data; ~45x the python path end to end)
+        # tested bit-for-bit in test_data; 4.3-8.3x the python path end to
+        # end depending on split — tools/bench_parser.py table)
         try:
             from amid_tpu.data.native import pack_csv_native
 

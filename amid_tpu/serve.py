@@ -8,13 +8,16 @@ matrix never materializes.
 
 Per-tile selection is `lax.approx_max_k` (the TPU PartialReduce op) followed
 by an exact [2k]-merge of the carry — measured on chip (tools/bench_serve.py,
-results/serve_bench.json): the first sort-based formulation (lax.top_k over
-[carry ++ tile]) spent 159-262 ms/batch in per-tile sorts; approx_max_k
-selection brings the same retrieval to ~13 ms/batch at the mybank catalog
-(894,820 x 128, B=256, k=100). `method="exact"` keeps the sort-based path
-(the oracle for tests). approx_max_k's per-tile recall target is 0.95 by
-default and misses only scores inside the same PartialReduce bin as the
-k-th best; tests pin observed recall vs the dense oracle.
+results/serve_bench.json + serve_bench_fused.json): the first sort-based
+formulation (lax.top_k over [carry ++ tile]) spent 159-262 ms/batch in
+per-tile sorts; approx_max_k selection plus the measured best tile size
+(262144) brings the same retrieval to **15.95 ms/batch** at the mybank
+catalog (894,820 x 128, B=256, k=100), 31.9 ms end-to-end for both domains
+including the backbone feature pass. `method="exact"` keeps the sort-based
+path (the oracle for tests). approx_max_k's per-tile recall target is 0.95
+by default and misses only scores inside the same PartialReduce bin as the
+k-th best; tests pin observed recall vs the dense oracle (measured 1.0 at
+k=100 on the mybank catalog).
 """
 
 from __future__ import annotations
@@ -28,11 +31,13 @@ import jax.numpy as jnp
 def _score_tile(u_part, items, k_item, b1, k2, b2):
     """u_part [B, H]; items [T, D] -> scores [B, T].
 
-    The H-contraction is written as multiply+sum, NOT einsum/dot_general:
-    a dot forces the [B, T, H] relu hidden to materialize in HBM (268 MB
-    per 8192-tile — measured 43.7 ms/batch at the mybank catalog), while
-    the explicit reduce fuses the whole broadcast+relu+weighted-sum chain
-    into one tile-local loop (scores only touch HBM). Same math as
+    The H-contraction is written as multiply+sum rather than einsum; the
+    matched-tile A/B (serve_bench.json vs serve_bench_fused.json: 43.68 vs
+    43.87 ms @16384, 92.58 vs 92.64 ms @8192) showed NO difference — XLA
+    already fuses the broadcast+relu+contraction either way. The measured
+    serve win came from the tile-size sweep (15.95 ms/batch at tile=262144
+    vs 43.7 at 16384): larger tiles amortize per-tile selection/merge and
+    raise table-read bandwidth (4.9 → 28.7 GB/s). Same math as
     PredictHead/model_seq.py:32-54."""
     i_part = jnp.einsum("td,dh->th", items, k_item,
                         preferred_element_type=jnp.float32)
@@ -48,7 +53,7 @@ def full_catalog_topk(
     item_table: jax.Array,  # [V, D]
     head_params: dict,  # PredictHead params: fc1_kernel/fc1_bias/fc2_kernel/fc2_bias
     k: int = 100,
-    tile: int = 8192,
+    tile: int = 262144,  # measured best on chip (serve_bench_fused.json)
     method: str = "approx",  # "approx" (TPU PartialReduce) | "exact" (sort)
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (scores [B, k], item_ids [B, k]), best-first."""

@@ -45,7 +45,10 @@ def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
               kernels: str = "auto", lazy: bool = False,
               phase_b: bool = False, bf16: bool = False,
               batch_size: int = 256, matmul_precision: str = "",
-              fused_scatter: bool = False, device_loop: bool = False) -> float:
+              fused_scatter: bool = True, device_loop: bool = True) -> float:
+    # Defaults match the CLI defaults (argparse below) so programmatic
+    # callers (tools/perf_pass.py) measure the shipping config: fused
+    # 3-array scatter + on-device lax.scan timing loop.
     import jax
     import jax.numpy as jnp
     import optax

@@ -48,9 +48,13 @@ def step_suite(steps: int) -> dict:
         ("amazon_pallas_attn", dict(seq_len=150, kernels="pallas")),
     ]
     for name, kw in configs:
-        eps = bench.bench_tpu(steps=steps, **kw)
+        # shipping config, stated explicitly: fused 3-array scatter +
+        # on-device lax.scan timing (robust to host load, CLAUDE.md)
+        eps = bench.bench_tpu(steps=steps, fused_scatter=True,
+                              device_loop=True, **kw)
         ms = 256.0 / eps * 1000.0
-        out[name] = {"examples_per_s": round(eps, 1), "ms_per_step": round(ms, 2)}
+        out[name] = {"examples_per_s": round(eps, 1), "ms_per_step": round(ms, 2),
+                     "harness": "device_loop"}
         print(f"A {name}: {eps:,.0f} ex/s ({ms:.2f} ms/step)", flush=True)
     out["mybank_eval_999negs"] = eval_step_time()
     return out

@@ -29,7 +29,32 @@ def parse_log_all(path: Path) -> dict[str, tuple[float, float]]:
 
 
 def count_seeds(run_dir: Path) -> int:
-    return len([f for f in run_dir.glob("log*.txt") if f.name != "log_all.txt"])
+    """Seed count for pooling weights.
+
+    The aggregate block in log_all.txt covers exactly the LAST logged run's
+    `cfg.seeds`, so parse that from the last logged cfg json — counting
+    log*.txt files silently mis-weights a reused dir that still holds stale
+    per-seed logs from an aborted earlier run. Warn when the two disagree.
+    """
+    n_logs = len([f for f in run_dir.glob("log*.txt") if f.name != "log_all.txt"])
+    n_cfg = None
+    try:
+        for line in (run_dir / "log_all.txt").read_text().splitlines():
+            m = re.search(r'"seeds": (\d+)', line)
+            if m:
+                n_cfg = int(m.group(1))  # keep the last one
+    except OSError:
+        pass
+    if n_cfg is None:
+        return n_logs
+    if n_cfg != n_logs:
+        print(
+            f"WARNING: {run_dir}: logged cfg says seeds={n_cfg} but "
+            f"{n_logs} per-seed logs present (stale logs from an aborted "
+            f"run?) — weighting by the cfg value {n_cfg}",
+            file=sys.stderr,
+        )
+    return n_cfg
 
 
 def merge_aggregates(
