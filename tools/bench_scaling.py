@@ -28,7 +28,8 @@ import numpy as np
 
 
 def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
-             seq_len: int, lazy: bool = False, remat: bool = False) -> float:
+             seq_len: int, lazy: bool = False, remat: bool = False,
+             device_loop: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -108,6 +109,29 @@ def run_mesh(n_devices: int, model_par: int, items: int, batch: int,
         step = make_train_step(model, tx, dr_e_w=0.01)
     state, m = step(state, batch_dev, pools_dev, sizes_dev, key)  # compile
     float(m["loss"])  # host fetch: the only true sync through the TPU tunnel
+    if device_loop:
+        # Same load-robust harness as bench.py: lax.scan carries the state
+        # on device, one dispatch for all iters (CLAUDE.md host-load note).
+        iters = 50
+
+        def body(s, i):
+            s2, m2 = step(s, batch_dev, pools_dev, sizes_dev,
+                          jax.random.fold_in(key, 100 + i))
+            return s2, m2["loss"]
+
+        @jax.jit
+        def loop(s):
+            _, ls = jax.lax.scan(body, s, jnp.arange(iters))
+            return ls[-1]
+
+        compiled = loop.lower(state).compile()
+        float(compiled(state))  # warmup
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(compiled(state))
+            dts.append(time.perf_counter() - t0)
+        return iters * batch / min(dts)
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
@@ -168,14 +192,19 @@ if __name__ == "__main__":
                 continue
             bs = a.batch * (n // mp) if a.weak else a.batch
             try:
+                # chip runs get the device-loop harness (load-robust); the
+                # CPU-mesh mode keeps the host loop (virtual devices
+                # timeshare 2 cores either way — those numbers demonstrate
+                # partitioning, not speed)
                 eps = run_mesh(n, mp, items, bs, a.seq_len, lazy=a.lazy,
-               remat=a.remat)
+                               remat=a.remat, device_loop=not a.cpu_mesh)
             except Exception as e:  # noqa: BLE001 — OOM ends the sweep
                 print(f"devices={n} items={items:,}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
                 break
             row = dict(devices=n, model_par=mp, items=items, batch=bs,
                        lazy=a.lazy, remat=a.remat,
+                       harness="device_loop" if not a.cpu_mesh else "host_loop",
                        examples_per_s=round(eps, 1))
             results.append(row)
             print(
