@@ -213,6 +213,12 @@ class TrainConfig:
     # C2DSR contrastive weight (train/c2dsr.py; active when model.is_c2dsr).
     cl_w: float = 0.1
     eval_batch_drop_last: bool = True  # reference val loader drop_last=True (train_sr.py:455)
+    # Eval pass as ONE lax.scan over the device-resident stacked val batches
+    # (steps.make_scanned_eval) instead of nb host-dispatched steps; metrics
+    # are bit-identical to the loop path (same fold_in(key, i) draws —
+    # test_fast_eval). Applies to the single-device trainer (mesh runs keep
+    # the loop so batch sharding stays per-step).
+    fast_eval: bool = True
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
@@ -275,6 +281,9 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile_steps", type=int, default=0)
     p.add_argument("--bf16", type=_parse_bool, default=False)
     p.add_argument("--lazy_table_adam", type=_parse_bool, default=False)
+    p.add_argument("--fast_eval", type=_parse_bool, default=True,
+                   help="eval pass as one lax.scan over device-resident val "
+                        "batches (metric-identical to the loop path)")
     p.add_argument("--checkpoint", type=_parse_bool, default=True)
     p.add_argument("--resume", type=_parse_bool, default=False)
     p.add_argument("--subdomain", type=int, default=-1,
@@ -346,6 +355,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         resume=a.resume,
         subdomain=a.subdomain,
         lazy_table_adam=a.lazy_table_adam,
+        fast_eval=a.fast_eval,
         cl_w=a.cl_w,
         checkpoint=a.checkpoint,
         use_mesh=a.mesh or a.model_axis != 1 or a.data_axis > 0,

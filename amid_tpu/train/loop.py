@@ -31,6 +31,7 @@ from amid_tpu.train.steps import (
     init_state,
     make_dr_r_step,
     make_eval_step,
+    make_scanned_eval,
     make_train_step,
 )
 from amid_tpu.utils.logging import AverageMeter, init_logger
@@ -101,6 +102,40 @@ def evaluate(
     return metrics
 
 
+def evaluate_scanned(
+    eval_all,
+    params,
+    batches_dev,
+    dom: np.ndarray,
+    ov: np.ndarray,
+    pools,
+    pool_sizes,
+    key,
+    overlap_eval: bool,
+    log=None,
+) -> dict[str, float]:
+    """Fast-eval path: one compiled lax.scan over the device-resident val
+    batches (steps.make_scanned_eval) — identical metrics to evaluate()
+    (same per-batch fold_in(key, i) negative draws), no per-batch host
+    slicing/dispatch."""
+    import time
+
+    t0 = time.perf_counter()
+    out = eval_all(params, batches_dev, pools, pool_sizes, key)
+    acc = RankAccumulator(overlap_eval)
+    acc.add(
+        np.asarray(out["ranks_fixed"]).reshape(-1),
+        np.asarray(out["ranks_raw"]).reshape(-1),
+        dom.reshape(-1),
+        ov.reshape(-1),
+    )
+    metrics = acc.finalize()
+    metrics["val_loss"] = float(out["loss_cls"].mean())
+    if log is not None:
+        log.debug(f"eval pass (scanned): {time.perf_counter() - t0:.2f}s")
+    return metrics
+
+
 class NonFiniteLossError(RuntimeError):
     pass
 
@@ -139,9 +174,11 @@ def run_seed(
     """Train one seed; returns the best-metric dict (reference train()
     return contract, train_sr.py:352-355).
 
-    epoch_hook(epoch, state, ev): observability callback invoked after the
-    main per-epoch eval (used by tools/transplant_eval.py to score the same
-    weights under the reference's own test())."""
+    epoch_hook(epoch, state, ev, phase): observability callback invoked
+    after the main per-epoch eval (phase="main") and, on the DR schedule,
+    again after the post-phase-B eval (phase="post_dr") — used by
+    tools/transplant_eval.py to score the same weights under the
+    reference's own test()."""
     log = log or init_logger(cfg.model_dir, f"log{seed}.txt")
     model = build_model(cfg.model)
     tx = optax.adam(cfg.lr)
@@ -254,6 +291,33 @@ def run_seed(
         else None
     )
 
+    # Fast eval (cfg.fast_eval): the val loader is deterministic
+    # (shuffle=False, drop_last=True), so stack its batches ONCE, park them
+    # on device, and run each eval pass as a single lax.scan program.
+    # Metric-identical to the loop path (same fold_in(key, i) draws —
+    # test_fast_eval); mesh runs keep the per-step loop so batch sharding
+    # stays explicit.
+    scanned_eval = None
+    if (
+        cfg.fast_eval
+        and not cfg.use_mesh
+        and cfg.eval_batch_drop_last
+        and len(val_iter) > 0
+    ):
+        import jax.numpy as jnp_
+
+        nbv = len(val_iter)
+        bsv = cfg.model.batch_size
+        varrays = val_ds.batch_arrays()
+        vidx = np.arange(nbv * bsv).reshape(nbv, bsv)
+        val_dom = varrays["domain_id"][vidx]
+        val_ov = varrays["overlap"][vidx]
+        val_batches_dev = {
+            k: jax.device_put(jnp_.asarray(v[vidx]))
+            for k, v in varrays.items()
+        }
+        scanned_eval = make_scanned_eval(model, cfg.data.neg_nums)
+
     ckpt = None
     start_epoch = 0
     if cfg.checkpoint:
@@ -311,11 +375,19 @@ def run_seed(
                 )
         if float(latch) > 0.0:
             state = _handle_nan(cfg, log, ckpt, state, epoch, "end")
-        ev = evaluate(
-            eval_step, state.params, val_iter, vpools, vpool_sizes,
-            jax.random.fold_in(ekey, 10_000), cfg.overlap_eval, log=log,
-            put=put,
-        )
+
+        def _eval(params, key):
+            if scanned_eval is not None:
+                return evaluate_scanned(
+                    scanned_eval, params, val_batches_dev, val_dom, val_ov,
+                    vpools, vpool_sizes, key, cfg.overlap_eval, log=log,
+                )
+            return evaluate(
+                eval_step, params, val_iter, vpools, vpool_sizes, key,
+                cfg.overlap_eval, log=log, put=put,
+            )
+
+        ev = _eval(state.params, jax.random.fold_in(ekey, 10_000))
         _track_best(best, ev)
         log.info(
             f"epoch {epoch}/{cfg.epochs} val_loss={ev['val_loss']:.4f} "
@@ -324,7 +396,7 @@ def run_seed(
             f"MRR d1={ev['mrr_d1']:.4f} d2={ev['mrr_d2']:.4f}"
         )
         if epoch_hook is not None:
-            epoch_hook(epoch, state, ev)
+            epoch_hook(epoch, state, ev, phase="main")
 
         if is_dr and dr_iter is not None:
             latch = jnp.zeros((), jnp.float32)
@@ -343,17 +415,15 @@ def run_seed(
                     log.info(f"train loss_dr_r:{meter.mean('loss_dr_r'):.5f}")
             if float(latch) > 0.0:
                 state = _handle_nan(cfg, log, ckpt, state, epoch, "end")
-            ev = evaluate(
-                eval_step, state.params, val_iter, vpools, vpool_sizes,
-                jax.random.fold_in(ekey, 30_000), cfg.overlap_eval, log=log,
-                put=put,
-            )
+            ev = _eval(state.params, jax.random.fold_in(ekey, 30_000))
             _track_best(best, ev)
             log.info(
                 f"epoch {epoch} (post-DR) HR@10 d1={ev['hit_10_d1']:.4f} "
                 f"d2={ev['hit_10_d2']:.4f} MRR d1={ev['mrr_d1']:.4f} "
                 f"d2={ev['mrr_d2']:.4f}"
             )
+            if epoch_hook is not None:
+                epoch_hook(epoch, state, ev, phase="post_dr")
 
         score = ev["mrr_d1"] + ev["mrr_d2"]
         if (

@@ -167,12 +167,12 @@ def make_dr_r_step(model, tx2: optax.GradientTransformation) -> Callable:
     return step
 
 
-def make_eval_step(model, num_neg: int) -> Callable:
+def make_eval_step(model, num_neg: int, jit: bool = True) -> Callable:
     """Eval pass (test(), train_sr.py:31-128): forward with num_neg sampled
     negatives, masked BCE val loss, on-device positive ranks (fixed & raw
-    tie-break variants)."""
+    tie-break variants). jit=False returns the traceable body (used inside
+    make_scanned_eval's lax.scan)."""
 
-    @jax.jit
     def step(params, batch, pools, pool_sizes, key):
         neg = sample_negatives(
             key, pools, pool_sizes, batch["domain_id"], batch["reject"], num_neg,
@@ -192,4 +192,39 @@ def make_eval_step(model, num_neg: int) -> Callable:
             "ranks_raw": positive_ranks(pred, fix=False),
         }
 
-    return step
+    return jax.jit(step) if jit else step
+
+
+def make_scanned_eval(model, num_neg: int) -> Callable:
+    """The WHOLE eval pass as one compiled program (TPU-native rewrite of
+    the per-batch loop): `lax.scan` of the eval step over the stacked val
+    batches. The val loader is deterministic (shuffle=False,
+    drop_last=True — train_sr.py:454-455), so the batches are stacked ONCE
+    per seed and live on device; per epoch only `key` changes and the host
+    dispatches a single program instead of `nb` steps built from freshly
+    sliced numpy. Per-batch keys are `fold_in(key, i)` with the same i as
+    the loop path, so negative draws — and therefore metrics — are
+    IDENTICAL (test_fast_eval pins this).
+
+    Returns eval_all(params, batches, pools, pool_sizes, key) ->
+    {loss_cls: [nb], ranks_fixed: [nb, B], ranks_raw: [nb, B]}."""
+    body_step = make_eval_step(model, num_neg, jit=False)
+
+    @jax.jit
+    def eval_all(params, batches, pools, pool_sizes, key):
+        nb = next(iter(batches.values())).shape[0]
+
+        def body(_, xs):
+            batch, i = xs
+            out = body_step(params, batch, pools, pool_sizes,
+                            jax.random.fold_in(key, i))
+            return None, (
+                out["loss_cls"], out["ranks_fixed"], out["ranks_raw"]
+            )
+
+        _, (loss_cls, rf, rr) = jax.lax.scan(
+            body, None, (batches, jnp.arange(nb))
+        )
+        return {"loss_cls": loss_cls, "ranks_fixed": rf, "ranks_raw": rr}
+
+    return eval_all
