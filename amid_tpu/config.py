@@ -219,6 +219,12 @@ class TrainConfig:
     # test_fast_eval). Applies to the single-device trainer (mesh runs keep
     # the loop so batch sharding stays per-step).
     fast_eval: bool = True
+    # Train epochs as log-cadence lax.scan chunks (steps.make_chunk_runner):
+    # ~log_every x fewer dispatches, one stacked slice per epoch, identical
+    # batch/rng streams and log sampling; exact metric parity on CPU
+    # (test_fast_train), float-rounding drift on TPU (recompiled program —
+    # well below seed noise). Mesh/profiling runs keep the per-step loop.
+    fast_train: bool = True
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
@@ -284,6 +290,9 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fast_eval", type=_parse_bool, default=True,
                    help="eval pass as one lax.scan over device-resident val "
                         "batches (metric-identical to the loop path)")
+    p.add_argument("--fast_train", type=_parse_bool, default=True,
+                   help="train epochs as log-cadence lax.scan chunks "
+                        "(bit-identical to per-step dispatch)")
     p.add_argument("--checkpoint", type=_parse_bool, default=True)
     p.add_argument("--resume", type=_parse_bool, default=False)
     p.add_argument("--subdomain", type=int, default=-1,
@@ -356,6 +365,7 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         subdomain=a.subdomain,
         lazy_table_adam=a.lazy_table_adam,
         fast_eval=a.fast_eval,
+        fast_train=a.fast_train,
         cl_w=a.cl_w,
         checkpoint=a.checkpoint,
         use_mesh=a.mesh or a.model_axis != 1 or a.data_axis > 0,

@@ -45,3 +45,15 @@ class BatchIterator:
         for b in range(nb):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             yield {k: v[idx] for k, v in self._arrays.items()}
+
+    def stacked(self) -> dict[str, np.ndarray]:
+        """One epoch's batches as [nb, bs, ...] arrays — the scanned-train
+        fast path (train.loop). Draws the SAME single permutation from the
+        iterator's rng that __iter__ would, so alternating stacked()/
+        __iter__ epochs see identical batch streams (test_fast_train pins
+        full-run parity)."""
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        nb = len(self)
+        idx = order[: nb * self.batch_size].reshape(nb, self.batch_size)
+        return {k: v[idx] for k, v in self._arrays.items()}

@@ -29,6 +29,7 @@ from amid_tpu.train.metrics import RankAccumulator
 from amid_tpu.train.steps import (
     TrainState,
     init_state,
+    make_chunk_runner,
     make_dr_r_step,
     make_eval_step,
     make_scanned_eval,
@@ -134,6 +135,49 @@ def evaluate_scanned(
     if log is not None:
         log.debug(f"eval pass (scanned): {time.perf_counter() - t0:.2f}s")
     return metrics
+
+
+def _run_chunked(
+    runner,
+    state,
+    stacked_np,
+    pools,
+    pool_sizes,
+    base_key,
+    idx_offset: int,
+    log_every: int,
+    timer,
+    batch_size: int,
+    on_metrics,
+    nan_cb,
+):
+    """Fast-train epoch driver (cfg.fast_train): one device program per
+    log-cadence chunk of steps (steps.make_chunk_runner) instead of
+    per-step dispatch. The chunk boundary IS the loop path's log/NaN-check
+    boundary (i % log_every == 0), so host syncs keep the same cadence —
+    there are just ~log_every x fewer dispatches and one stacked slice per
+    epoch instead of one per step. Batch order, keys, and log sampling are
+    identical to the loop; metric parity is exact on CPU (test_fast_train),
+    float-rounding-level on TPU (different compiled program — see
+    make_chunk_runner)."""
+    import jax.numpy as jnp
+
+    nb = next(iter(stacked_np.values())).shape[0]
+    start = 0
+    while start < nb:
+        end = min(start + log_every, nb)
+        chunk = {k: jnp.asarray(v[start:end]) for k, v in stacked_np.items()}
+        idxs = jnp.arange(idx_offset + start, idx_offset + end)
+        state, m0, nf = runner(state, chunk, pools, pool_sizes, base_key, idxs)
+        if timer is not None:  # phase B passes None — the loop path only
+            for _ in range(end - start):  # counts phase-A steps
+                timer.step(batch_size)
+        if float(nf) > 0.0:
+            state = nan_cb(state, start)
+        else:
+            on_metrics(m0)
+        start = end
+    return state
 
 
 class NonFiniteLossError(RuntimeError):
@@ -334,6 +378,15 @@ def run_seed(
                 start_epoch = ckpt.latest_step() + 1
                 log.info(f"resumed from checkpoint at epoch {start_epoch - 1}")
 
+    # Fast train (cfg.fast_train): chunk the epoch into log-cadence scans
+    # (steps.make_chunk_runner). Mesh/profiling runs keep per-step dispatch.
+    fast_train = cfg.fast_train and not cfg.use_mesh and not cfg.profile_steps
+    chunk_runner = make_chunk_runner(train_step) if fast_train else None
+    dr_chunk_runner = (
+        make_chunk_runner(dr_step) if fast_train and dr_step is not None
+        else None
+    )
+
     root_key = jax.random.PRNGKey(seed)
     best: dict[str, float] = {}
     best_score = -1.0
@@ -351,30 +404,53 @@ def run_seed(
         # epoch end, so a NaN at ANY step is caught by the next fetch
         # (VERDICT r1 weak #3 — the old check sampled log steps only).
         latch = jnp.zeros((), jnp.float32)
-        for i, batch in enumerate(train_iter):
-            if cfg.profile_steps and epoch == 0 and i == 1:
-                jax.profiler.start_trace(f"{cfg.model_dir}/profile")
-            state, m = train_step(
-                state, put(batch), pools, pool_sizes, jax.random.fold_in(ekey, i)
-            )
-            latch = jnp.maximum(latch, m.pop("nonfinite", 0.0))
-            if cfg.profile_steps and epoch == 0 and i == cfg.profile_steps:
-                jax.block_until_ready(m["loss"])
-                jax.profiler.stop_trace()
-                log.info(f"profile trace written to {cfg.model_dir}/profile")
-            timer.step(cfg.model.batch_size)
-            if i % cfg.log_every == 0:
-                if float(latch) > 0.0:
-                    state = _handle_nan(cfg, log, ckpt, state, epoch, i)
-                    latch = jnp.zeros((), jnp.float32)
-                    continue
-                meter.update(**{k: float(v) for k, v in m.items()})
+        if fast_train:
+
+            def _on_metrics(m0):
+                meter.update(**{k: float(v) for k, v in m0.items()})
                 log.info(
                     "train "
-                    + ", ".join(f"{k}:{meter.mean(k):.5f}" for k in sorted(m))
+                    + ", ".join(
+                        f"{k}:{meter.mean(k):.5f}" for k in sorted(m0)
+                    )
                 )
-        if float(latch) > 0.0:
-            state = _handle_nan(cfg, log, ckpt, state, epoch, "end")
+
+            state = _run_chunked(
+                chunk_runner, state, train_iter.stacked(), pools, pool_sizes,
+                ekey, 0, cfg.log_every, timer, cfg.model.batch_size,
+                _on_metrics,
+                lambda s, i: _handle_nan(cfg, log, ckpt, s, epoch, i),
+            )
+        else:
+            for i, batch in enumerate(train_iter):
+                if cfg.profile_steps and epoch == 0 and i == 1:
+                    jax.profiler.start_trace(f"{cfg.model_dir}/profile")
+                state, m = train_step(
+                    state, put(batch), pools, pool_sizes,
+                    jax.random.fold_in(ekey, i)
+                )
+                latch = jnp.maximum(latch, m.pop("nonfinite", 0.0))
+                if cfg.profile_steps and epoch == 0 and i == cfg.profile_steps:
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
+                    log.info(
+                        f"profile trace written to {cfg.model_dir}/profile"
+                    )
+                timer.step(cfg.model.batch_size)
+                if i % cfg.log_every == 0:
+                    if float(latch) > 0.0:
+                        state = _handle_nan(cfg, log, ckpt, state, epoch, i)
+                        latch = jnp.zeros((), jnp.float32)
+                        continue
+                    meter.update(**{k: float(v) for k, v in m.items()})
+                    log.info(
+                        "train "
+                        + ", ".join(
+                            f"{k}:{meter.mean(k):.5f}" for k in sorted(m)
+                        )
+                    )
+            if float(latch) > 0.0:
+                state = _handle_nan(cfg, log, ckpt, state, epoch, "end")
 
         def _eval(params, key):
             if scanned_eval is not None:
@@ -400,21 +476,40 @@ def run_seed(
 
         if is_dr and dr_iter is not None:
             latch = jnp.zeros((), jnp.float32)
-            for i, batch in enumerate(dr_iter):
-                state, m = dr_step(
-                    state, put(batch), dpools, dpool_sizes,
-                    jax.random.fold_in(ekey, 20_000 + i),
+            if fast_train:
+
+                def _on_dr_metrics(m0):
+                    meter.update(loss_dr_r=float(m0["loss_dr_r"]))
+                    log.info(
+                        f"train loss_dr_r:{meter.mean('loss_dr_r'):.5f}"
+                    )
+
+                state = _run_chunked(
+                    dr_chunk_runner, state, dr_iter.stacked(), dpools,
+                    dpool_sizes, ekey, 20_000, cfg.log_every, None,
+                    cfg.model.batch_size, _on_dr_metrics,
+                    lambda s, i: _handle_nan(cfg, log, ckpt, s, epoch, i),
                 )
-                latch = jnp.maximum(latch, m.pop("nonfinite", 0.0))
-                if i % cfg.log_every == 0:
-                    if float(latch) > 0.0:
-                        state = _handle_nan(cfg, log, ckpt, state, epoch, i)
-                        latch = jnp.zeros((), jnp.float32)
-                        continue
-                    meter.update(loss_dr_r=float(m["loss_dr_r"]))
-                    log.info(f"train loss_dr_r:{meter.mean('loss_dr_r'):.5f}")
-            if float(latch) > 0.0:
-                state = _handle_nan(cfg, log, ckpt, state, epoch, "end")
+            else:
+                for i, batch in enumerate(dr_iter):
+                    state, m = dr_step(
+                        state, put(batch), dpools, dpool_sizes,
+                        jax.random.fold_in(ekey, 20_000 + i),
+                    )
+                    latch = jnp.maximum(latch, m.pop("nonfinite", 0.0))
+                    if i % cfg.log_every == 0:
+                        if float(latch) > 0.0:
+                            state = _handle_nan(
+                                cfg, log, ckpt, state, epoch, i
+                            )
+                            latch = jnp.zeros((), jnp.float32)
+                            continue
+                        meter.update(loss_dr_r=float(m["loss_dr_r"]))
+                        log.info(
+                            f"train loss_dr_r:{meter.mean('loss_dr_r'):.5f}"
+                        )
+                if float(latch) > 0.0:
+                    state = _handle_nan(cfg, log, ckpt, state, epoch, "end")
             ev = _eval(state.params, jax.random.fold_in(ekey, 30_000))
             _track_best(best, ev)
             log.info(
