@@ -22,6 +22,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--seeds", type=int, default=2)
+    p.add_argument("--seed_offset", type=int, default=0)
     p.add_argument("--neg_nums", type=int, default=999)
     p.add_argument("--out", default="results/amid_ab_loan_fund_dr_v2")
     a = p.parse_args()
@@ -56,7 +57,7 @@ def main() -> None:
                                  with_ob_label=True)
 
     all_rows = {}
-    for seed in range(a.seeds):
+    for seed in range(a.seed_offset, a.seed_offset + a.seeds):
         rows = []
 
         def hook(epoch, state, ev, phase="main"):
