@@ -81,5 +81,46 @@ def test_nan_at_non_log_step_triggers_policy(tmp_path, rng, monkeypatch):
     cfg = _cfg(tmp_path)
     cfg.nan_policy = "halt"
     cfg.log_every = 20
+    # per-step injection counts host CALLS — that is the per-step loop's
+    # dispatch model; the scanned path traces the step once (its latch is
+    # covered by test_nan_policy_triggers_on_fast_train_path below)
+    cfg.fast_train = False
+    with pytest.raises(NonFiniteLossError):
+        run_seed(cfg, seed=0, train_ds=train, val_ds=val)
+
+
+def test_nan_policy_triggers_on_fast_train_path(tmp_path, rng, monkeypatch):
+    """fast_train covers the same policy: the chunk runner returns the max
+    of every scanned step's on-device `nonfinite` flag and _run_chunked
+    trips the policy at the chunk boundary (the loop path's log-step
+    check). Per-host-call injection can't reach inside lax.scan, so inject
+    at the runner layer: OR a nonfinite flag in whenever the chunk's
+    traced global-index vector covers step 3 — equivalent to step 3's
+    on-device flag latching."""
+    import jax.numpy as jnp
+
+    import amid_tpu.train.loop as loop_mod
+    from amid_tpu.train.loop import run_seed
+    from amid_tpu.train.steps import make_chunk_runner as real_make_runner
+    from test_train_smoke import _cfg, synth_dataset
+
+    def patched_make_runner(step):
+        real_runner = real_make_runner(step)
+
+        def runner(state, batches, pools, pool_sizes, base_key, idxs):
+            state, m0, nf = real_runner(
+                state, batches, pools, pool_sizes, base_key, idxs)
+            hit = jnp.any(idxs == 3).astype(jnp.float32)
+            return state, m0, jnp.maximum(nf, hit)
+
+        return runner
+
+    monkeypatch.setattr(loop_mod, "make_chunk_runner", patched_make_runner)
+    train = synth_dataset(rng, n_rows=64)
+    val = synth_dataset(rng, n_rows=32)
+    cfg = _cfg(tmp_path)
+    cfg.nan_policy = "halt"
+    cfg.log_every = 20  # step 3 is mid-chunk, never a chunk boundary itself
+    assert cfg.fast_train
     with pytest.raises(NonFiniteLossError):
         run_seed(cfg, seed=0, train_ds=train, val_ds=val)
