@@ -90,14 +90,15 @@ def table(title: str, ref_rows: list[dict], amid_rows: list[dict]) -> None:
 def main(ref_log: str, amid_json: str) -> None:
     ref = parse_reference_log(ref_log)
     amid = json.load(open(amid_json))
-    n_seeds = min(len(ref), len(amid))
-    print(f"seeds compared: {n_seeds} "
-          f"(reference blocks per seed: {[len(s) for s in ref]})")
+    print(f"reference seeds (blocks each): {[len(s) for s in ref]}; "
+          f"amid seeds: {len(amid)} — the TPU side is cheap to seed, the "
+          f"CPU reference is not; means are compared over ALL runs each "
+          f"side has")
     # phase A = eval 0, phase B = eval 1 (1-epoch A/B config)
-    ref_a = [s[0] for s in ref[:n_seeds] if len(s) >= 1]
-    ref_b = [s[1] for s in ref[:n_seeds] if len(s) >= 2]
+    ref_a = [s[0] for s in ref if len(s) >= 1]
+    ref_b = [s[1] for s in ref if len(s) >= 2]
     amid_a, amid_b = [], []
-    for seed in sorted(amid, key=int)[:n_seeds]:
+    for seed in sorted(amid, key=int):
         evs = amid[seed]["evals"]
         amid_a += [e["metrics"] for e in evs if e["phase"] == "main"]
         amid_b += [e["metrics"] for e in evs if e["phase"] == "post_dr"]
