@@ -96,27 +96,31 @@ def _make_lazy_step(
     """Shared lazy-step skeleton. loss_builder(out, labels, batch) ->
     (loss, metrics); slot selects which optimizer state (1 = opt_state,
     2 = opt_state2) is read and written — the other passes through."""
-    if kernels == "pallas":
-        from amid_tpu.ops.pallas_scatter import scatter_set_unique_pallas
+    # uids are sorted-unique (sentinel tail) => the pallas scatters are
+    # duplicate-free and the in-place add equals a set of the updated
+    # gathered rows. In-step A/B on an idle host (tools/perf_pass.py,
+    # results/perf_pass.json, 2026-08-20): 6.83 ms/step with XLA
+    # scatters vs 5.27 ms/step with the per-row-DMA kernel at the
+    # flagship config (37.5k -> 48.6k ex/s), so "pallas" (the TPU
+    # default via kernels=auto) dispatches it — except above the SMEM
+    # prefetch limit, see _pallas_scatter_fits below.
+    def xla_scatter_add_neg(table, uids, rows, upd):
+        return table.at[uids].add(-upd, mode="drop")
 
-        # uids are sorted-unique (sentinel tail) => the scatters below are
-        # duplicate-free and the in-place add equals a set of the updated
-        # gathered rows. In-step A/B on an idle host (tools/perf_pass.py,
-        # results/perf_pass.json, 2026-08-20): 6.83 ms/step with XLA
-        # scatters vs 5.27 ms/step with the per-row-DMA kernel at the
-        # flagship config (37.5k -> 48.6k ex/s), so "pallas" (the TPU
-        # default via kernels=auto) dispatches it.
-        def scatter_add_neg(table, uids, rows, upd):
-            return scatter_set_unique_pallas(table, uids, rows - upd)
+    def xla_scatter_set(arr, uids, vals):
+        return arr.at[uids].set(vals, mode="drop")
 
-        def scatter_set(arr, uids, vals):
-            return scatter_set_unique_pallas(arr, uids, vals)
-    else:
-        def scatter_add_neg(table, uids, rows, upd):
-            return table.at[uids].add(-upd, mode="drop")
-
-        def scatter_set(arr, uids, vals):
-            return arr.at[uids].set(vals, mode="drop")
+    def _pallas_scatter_fits(u_budget: int) -> bool:
+        # The pallas scatter kernels prefetch `uids` ([U] int32) into
+        # scalar memory (PrefetchScalarGridSpec); v5e SMEM is 1 MB, so the
+        # kernel stops compiling beyond ~256k ids. Measured: bs 4096
+        # (172,032 ids = 688 KB) compiles and runs; bs 8192 (344,064 ids)
+        # fails AOT with "Allocation (size=1376256) would exceed memory
+        # (size=1048576) space=smem". Keep 25% headroom for the kernel's
+        # other scalars and dispatch XLA scatters above it (the capability
+        # sweeps, results/bench_dense_sweep.out, cover which optimizer
+        # wins at those batches anyway).
+        return u_budget * 4 <= 786_432
 
     # Donating the state lets XLA update the table/moment buffers in place:
     # without it every step pays full-buffer copies before the scatters
@@ -178,7 +182,8 @@ def _make_lazy_step(
         mhat = mu_new / (1.0 - b1**c)
         vhat = nu_new / (1.0 - b2**c)
         upd = lr * mhat / (jnp.sqrt(vhat) + eps)
-        if kernels == "pallas" and fused_scatter:
+        use_pallas = kernels == "pallas" and _pallas_scatter_fits(u_budget)
+        if use_pallas and fused_scatter:
             # one kernel, 3xN DMAs in a single issue window — the measured
             # default since the round-3 device-loop A/B: 49,939 vs 48,933
             # ex/s (train) and 49,735 vs 49,079 (phase B) against the
@@ -188,10 +193,16 @@ def _make_lazy_step(
 
             table_new, mu_t, nu_t = scatter_set_unique3_pallas(
                 table, opt.mu, opt.nu, uids, rows - upd, mu_new, nu_new)
+        elif use_pallas:
+            from amid_tpu.ops.pallas_scatter import scatter_set_unique_pallas
+
+            table_new = scatter_set_unique_pallas(table, uids, rows - upd)
+            mu_t = scatter_set_unique_pallas(opt.mu, uids, mu_new)
+            nu_t = scatter_set_unique_pallas(opt.nu, uids, nu_new)
         else:
-            table_new = scatter_add_neg(table, uids, rows, upd)
-            mu_t = scatter_set(opt.mu, uids, mu_new)
-            nu_t = scatter_set(opt.nu, uids, nu_new)
+            table_new = xla_scatter_add_neg(table, uids, rows, upd)
+            mu_t = xla_scatter_set(opt.mu, uids, mu_new)
+            nu_t = xla_scatter_set(opt.nu, uids, nu_new)
 
         params_new = dict(dense_new)
         params_new[TABLE_KEY] = table_new
