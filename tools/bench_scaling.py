@@ -165,6 +165,15 @@ if __name__ == "__main__":
                     help="single 'NxMP' config instead of the default list, "
                          "e.g. 8x8 for the 50M functional step")
     ap.add_argument("--out", type=str, default="")
+    ap.add_argument("--host_loop", action="store_true",
+                    help="per-step dispatch with state donation instead of "
+                         "the timing scan. The scan harness keeps a second "
+                         "copy of the state alive (the jitted loop's arg "
+                         "is not donated so reps can reuse it), which "
+                         "HALVES the largest table that fits vs the real "
+                         "trainer step (donate_argnums=(0,)); use this for "
+                         "fit-boundary probes — timings are only honest on "
+                         "an idle host (CLAUDE.md host-load note)")
     a = ap.parse_args()
 
     if a.cpu_mesh:
@@ -197,14 +206,17 @@ if __name__ == "__main__":
                 # timeshare 2 cores either way — those numbers demonstrate
                 # partitioning, not speed)
                 eps = run_mesh(n, mp, items, bs, a.seq_len, lazy=a.lazy,
-                               remat=a.remat, device_loop=not a.cpu_mesh)
+                               remat=a.remat,
+                               device_loop=not a.cpu_mesh and not a.host_loop)
             except Exception as e:  # noqa: BLE001 — OOM ends the sweep
                 print(f"devices={n} items={items:,}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
                 break
             row = dict(devices=n, model_par=mp, items=items, batch=bs,
                        lazy=a.lazy, remat=a.remat,
-                       harness="device_loop" if not a.cpu_mesh else "host_loop",
+                       harness=("device_loop"
+                                if not a.cpu_mesh and not a.host_loop
+                                else "host_loop"),
                        examples_per_s=round(eps, 1))
             results.append(row)
             print(
