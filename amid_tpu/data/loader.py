@@ -52,8 +52,18 @@ class BatchIterator:
         iterator's rng that __iter__ would, so alternating stacked()/
         __iter__ epochs see identical batch streams (test_fast_train pins
         full-run parity)."""
+        idx = self.epoch_perm().reshape(len(self), self.batch_size)
+        return {k: v[idx] for k, v in self._arrays.items()}
+
+    def epoch_perm(self) -> np.ndarray:
+        """One epoch's row order, [nb*bs] — the device-resident fast path
+        ships only this (4 B/row) and gathers batches ON DEVICE
+        (steps.make_resident_chunk_runner). Consumes the iterator rng
+        exactly as __iter__ / stacked() do."""
         n = len(self.dataset)
         order = self._rng.permutation(n) if self.shuffle else np.arange(n)
-        nb = len(self)
-        idx = order[: nb * self.batch_size].reshape(nb, self.batch_size)
-        return {k: v[idx] for k, v in self._arrays.items()}
+        return order[: len(self) * self.batch_size].astype(np.int32)
+
+    def arrays(self) -> dict[str, np.ndarray]:
+        """The full per-row arrays (for one-time device residency)."""
+        return self._arrays

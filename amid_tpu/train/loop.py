@@ -29,9 +29,9 @@ from amid_tpu.train.metrics import RankAccumulator
 from amid_tpu.train.steps import (
     TrainState,
     init_state,
-    make_chunk_runner,
     make_dr_r_step,
     make_eval_step,
+    make_resident_chunk_runner,
     make_scanned_eval,
     make_train_step,
 )
@@ -140,7 +140,9 @@ def evaluate_scanned(
 def _run_chunked(
     runner,
     state,
-    stacked_np,
+    arrays_dev,
+    perm_dev,
+    nb: int,
     pools,
     pool_sizes,
     base_key,
@@ -152,23 +154,25 @@ def _run_chunked(
     nan_cb,
 ):
     """Fast-train epoch driver (cfg.fast_train): one device program per
-    log-cadence chunk of steps (steps.make_chunk_runner) instead of
-    per-step dispatch. The chunk boundary IS the loop path's log/NaN-check
-    boundary (i % log_every == 0), so host syncs keep the same cadence —
-    there are just ~log_every x fewer dispatches and one stacked slice per
-    epoch instead of one per step. Batch order, keys, and log sampling are
-    identical to the loop; metric parity is exact on CPU (test_fast_train),
-    float-rounding-level on TPU (different compiled program — see
-    make_chunk_runner)."""
+    log-cadence chunk of steps (steps.make_resident_chunk_runner) instead
+    of per-step dispatch. The chunk boundary IS the loop path's
+    log/NaN-check boundary (i % log_every == 0), so host syncs keep the
+    same cadence — but there are ~log_every x fewer dispatches, and the
+    DATA NEVER MOVES per step: the dataset is device-resident (put once
+    per seed) and each epoch ships only the 4-byte/row permutation, with
+    batches gathered on device inside the scan. Batch order, keys, and
+    log sampling are identical to the loop; metric parity is exact on CPU
+    (test_fast_train), float-rounding-level on TPU (different compiled
+    program — see make_chunk_runner)."""
     import jax.numpy as jnp
 
-    nb = next(iter(stacked_np.values())).shape[0]
     start = 0
     while start < nb:
         end = min(start + log_every, nb)
-        chunk = {k: jnp.asarray(v[start:end]) for k, v in stacked_np.items()}
-        idxs = jnp.arange(idx_offset + start, idx_offset + end)
-        state, m0, nf = runner(state, chunk, pools, pool_sizes, base_key, idxs)
+        bidxs = jnp.arange(start, end)
+        kidxs = jnp.arange(idx_offset + start, idx_offset + end)
+        state, m0, nf = runner(state, arrays_dev, perm_dev, pools,
+                               pool_sizes, base_key, kidxs, bidxs)
         if timer is not None:  # phase B passes None — the loop path only
             for _ in range(end - start):  # counts phase-A steps
                 timer.step(batch_size)
@@ -379,13 +383,27 @@ def run_seed(
                 log.info(f"resumed from checkpoint at epoch {start_epoch - 1}")
 
     # Fast train (cfg.fast_train): chunk the epoch into log-cadence scans
-    # (steps.make_chunk_runner). Mesh/profiling runs keep per-step dispatch.
+    # over the DEVICE-RESIDENT dataset (steps.make_resident_chunk_runner)
+    # — per epoch only the permutation crosses the tunnel. Mesh/profiling
+    # runs keep per-step dispatch.
     fast_train = cfg.fast_train and not cfg.use_mesh and not cfg.profile_steps
-    chunk_runner = make_chunk_runner(train_step) if fast_train else None
-    dr_chunk_runner = (
-        make_chunk_runner(dr_step) if fast_train and dr_step is not None
-        else None
-    )
+    chunk_runner = dr_chunk_runner = None
+    train_arrays_dev = dr_arrays_dev = None
+    if fast_train:
+        import jax.numpy as jnp_
+
+        bsz = cfg.model.batch_size
+        chunk_runner = make_resident_chunk_runner(train_step, bsz)
+        train_arrays_dev = {
+            k: jax.device_put(jnp_.asarray(v))
+            for k, v in train_iter.arrays().items()
+        }
+        if dr_step is not None and dr_iter is not None:
+            dr_chunk_runner = make_resident_chunk_runner(dr_step, bsz)
+            dr_arrays_dev = {
+                k: jax.device_put(jnp_.asarray(v))
+                for k, v in dr_iter.arrays().items()
+            }
 
     root_key = jax.random.PRNGKey(seed)
     best: dict[str, float] = {}
@@ -415,8 +433,12 @@ def run_seed(
                     )
                 )
 
+            import jax.numpy as jnp_
+
+            perm_dev = jax.device_put(jnp_.asarray(train_iter.epoch_perm()))
             state = _run_chunked(
-                chunk_runner, state, train_iter.stacked(), pools, pool_sizes,
+                chunk_runner, state, train_arrays_dev, perm_dev,
+                len(train_iter), pools, pool_sizes,
                 ekey, 0, cfg.log_every, timer, cfg.model.batch_size,
                 _on_metrics,
                 lambda s, i: _handle_nan(cfg, log, ckpt, s, epoch, i),
@@ -484,10 +506,15 @@ def run_seed(
                         f"train loss_dr_r:{meter.mean('loss_dr_r'):.5f}"
                     )
 
+                import jax.numpy as jnp_
+
+                dperm_dev = jax.device_put(
+                    jnp_.asarray(dr_iter.epoch_perm()))
                 state = _run_chunked(
-                    dr_chunk_runner, state, dr_iter.stacked(), dpools,
-                    dpool_sizes, ekey, 20_000, cfg.log_every, None,
-                    cfg.model.batch_size, _on_dr_metrics,
+                    dr_chunk_runner, state, dr_arrays_dev, dperm_dev,
+                    len(dr_iter), dpools, dpool_sizes, ekey, 20_000,
+                    cfg.log_every, None, cfg.model.batch_size,
+                    _on_dr_metrics,
                     lambda s, i: _handle_nan(cfg, log, ckpt, s, epoch, i),
                 )
             else:

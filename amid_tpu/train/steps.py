@@ -233,6 +233,48 @@ def make_chunk_runner(step) -> Callable:
     return run_chunk
 
 
+def make_resident_chunk_runner(step, batch_size: int) -> Callable:
+    """make_chunk_runner with the DATASET RESIDENT ON DEVICE: instead of
+    the host slicing + shipping each chunk's batches (the dominant epoch
+    cost through the ~26 ms-RTT tunnel — ~0.2 s/chunk for 20 x 256-row
+    batches), the full per-row arrays live on device once per seed and
+    each scanned step gathers its batch as `arrays[perm[i*bs:(i+1)*bs]]`
+    from the epoch's 4-byte/row permutation. The permutation is still
+    drawn by BatchIterator's host rng (epoch_perm()), so batch composition
+    — and therefore the whole trajectory — is identical to the
+    host-sliced path (test_fast_train pins it).
+
+    run_chunk(state, arrays, perm, pools, pool_sizes, base_key, kidxs,
+    bidxs) where arrays = {k: [n, ...]} device-resident, perm [nb*bs]
+    int32, kidxs [chunk] = key-fold step indices (phase B offsets these by
+    20_000 — loop.py), bidxs [chunk] = batch positions 0..nb-1 within the
+    epoch (row addressing)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state, arrays, perm, pools, pool_sizes, base_key,
+                  kidxs, bidxs):
+        def body(s, xs):
+            ki, bi = xs
+            rows = jax.lax.dynamic_slice(
+                perm, (bi * batch_size,), (batch_size,)
+            )
+            b = {k: jnp.take(v, rows, axis=0) for k, v in arrays.items()}
+            s2, m = step(s, b, pools, pool_sizes,
+                         jax.random.fold_in(base_key, ki))
+            return s2, m
+
+        state, ms = jax.lax.scan(body, state, (kidxs, bidxs))
+        nf = (
+            ms.pop("nonfinite").max()
+            if "nonfinite" in ms
+            else jnp.zeros((), jnp.float32)
+        )
+        m0 = jax.tree_util.tree_map(lambda x: x[0], ms)
+        return state, m0, nf
+
+    return run_chunk
+
+
 def make_scanned_eval(model, num_neg: int) -> Callable:
     """The WHOLE eval pass as one compiled program (TPU-native rewrite of
     the per-batch loop): `lax.scan` of the eval step over the stacked val

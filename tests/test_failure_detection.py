@@ -101,21 +101,26 @@ def test_nan_policy_triggers_on_fast_train_path(tmp_path, rng, monkeypatch):
 
     import amid_tpu.train.loop as loop_mod
     from amid_tpu.train.loop import run_seed
-    from amid_tpu.train.steps import make_chunk_runner as real_make_runner
+    from amid_tpu.train.steps import (
+        make_resident_chunk_runner as real_make_runner,
+    )
     from test_train_smoke import _cfg, synth_dataset
 
-    def patched_make_runner(step):
-        real_runner = real_make_runner(step)
+    def patched_make_runner(step, batch_size):
+        real_runner = real_make_runner(step, batch_size)
 
-        def runner(state, batches, pools, pool_sizes, base_key, idxs):
+        def runner(state, arrays, perm, pools, pool_sizes, base_key,
+                   kidxs, bidxs):
             state, m0, nf = real_runner(
-                state, batches, pools, pool_sizes, base_key, idxs)
-            hit = jnp.any(idxs == 3).astype(jnp.float32)
+                state, arrays, perm, pools, pool_sizes, base_key,
+                kidxs, bidxs)
+            hit = jnp.any(kidxs == 3).astype(jnp.float32)
             return state, m0, jnp.maximum(nf, hit)
 
         return runner
 
-    monkeypatch.setattr(loop_mod, "make_chunk_runner", patched_make_runner)
+    monkeypatch.setattr(
+        loop_mod, "make_resident_chunk_runner", patched_make_runner)
     train = synth_dataset(rng, n_rows=64)
     val = synth_dataset(rng, n_rows=32)
     cfg = _cfg(tmp_path)
