@@ -101,7 +101,8 @@ def eval_step_time() -> dict:
     eps = 256.0 / t
     print(f"A mybank_eval_999negs: {eps:,.0f} ex/s ({t*1e3:.2f} ms/step)",
           flush=True)
-    return {"examples_per_s": round(eps, 1), "ms_per_step": round(t * 1e3, 2)}
+    return {"examples_per_s": round(eps, 1), "ms_per_step": round(t * 1e3, 2),
+            "harness": "device_time"}
 
 
 def breakdown() -> dict:
