@@ -219,7 +219,7 @@ class TrainConfig:
     # test_fast_eval). Applies to the single-device trainer (mesh runs keep
     # the loop so batch sharding stays per-step).
     fast_eval: bool = True
-    # Train epochs as log-cadence lax.scan chunks (steps.make_chunk_runner):
+    # Train epochs as log-cadence lax.scan chunks (steps.make_resident_chunk_runner):
     # ~log_every x fewer dispatches, one stacked slice per epoch, identical
     # batch/rng streams and log sampling; exact metric parity on CPU
     # (test_fast_train), float-rounding drift on TPU (recompiled program —

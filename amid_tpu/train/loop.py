@@ -163,7 +163,7 @@ def _run_chunked(
     batches gathered on device inside the scan. Batch order, keys, and
     log sampling are identical to the loop; metric parity is exact on CPU
     (test_fast_train), float-rounding-level on TPU (different compiled
-    program — see make_chunk_runner)."""
+    program — see make_resident_chunk_runner)."""
     import jax.numpy as jnp
 
     start = 0

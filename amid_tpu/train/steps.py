@@ -195,54 +195,28 @@ def make_eval_step(model, num_neg: int, jit: bool = True) -> Callable:
     return jax.jit(step) if jit else step
 
 
-def make_chunk_runner(step) -> Callable:
-    """A contiguous chunk of train steps as ONE device program (the
-    scanned-train fast path, cfg.fast_train): lax.scan carries the
-    TrainState, per-step keys fold the GLOBAL step index into the epoch key
-    exactly as the host loop does (fold_in(ekey, i)), so batch streams and
-    rng draws are identical to per-step dispatch — exact metric parity on
-    CPU (test_fast_train, 1e-6 over full runs). On TPU, XLA compiles the
-    scanned body as a different program than the standalone step, so
-    trajectories drift at float rounding level (observed 1e-5 on the first
-    logged losses, growing with training feedback) — far below seed noise;
-    semantics are pinned by the CPU A/B. Returns run_chunk(state, batches,
-    pools, pool_sizes,
-    base_key, idxs) -> (state, first-step metrics, nonfinite-latch-max) —
-    the first-step metrics reproduce the loop's log-at-chunk-start
-    sampling, the latch max reproduces its per-log-step NaN check window.
-    One compiled program per distinct chunk length (the epoch tail
-    recompiles once)."""
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(state, batches, pools, pool_sizes, base_key, idxs):
-        def body(s, xs):
-            b, i = xs
-            s2, m = step(s, b, pools, pool_sizes,
-                         jax.random.fold_in(base_key, i))
-            return s2, m
-
-        state, ms = jax.lax.scan(body, state, (batches, idxs))
-        nf = (
-            ms.pop("nonfinite").max()
-            if "nonfinite" in ms
-            else jnp.zeros((), jnp.float32)
-        )
-        m0 = jax.tree_util.tree_map(lambda x: x[0], ms)
-        return state, m0, nf
-
-    return run_chunk
-
-
 def make_resident_chunk_runner(step, batch_size: int) -> Callable:
-    """make_chunk_runner with the DATASET RESIDENT ON DEVICE: instead of
-    the host slicing + shipping each chunk's batches (the dominant epoch
-    cost through the ~26 ms-RTT tunnel — ~0.2 s/chunk for 20 x 256-row
-    batches), the full per-row arrays live on device once per seed and
-    each scanned step gathers its batch as `arrays[perm[i*bs:(i+1)*bs]]`
-    from the epoch's 4-byte/row permutation. The permutation is still
-    drawn by BatchIterator's host rng (epoch_perm()), so batch composition
-    — and therefore the whole trajectory — is identical to the
-    host-sliced path (test_fast_train pins it).
+    """A contiguous chunk of train steps as ONE device program over the
+    DEVICE-RESIDENT dataset (the scanned-train fast path, cfg.fast_train):
+    lax.scan carries the TrainState; the full per-row arrays live on
+    device once per seed and each scanned step gathers its batch as
+    `arrays[perm[i*bs:(i+1)*bs]]` from the epoch's 4-byte/row permutation
+    — nothing but the permutation and a few metric scalars cross the
+    (~26 ms-RTT) tunnel per epoch. The permutation is drawn by
+    BatchIterator's host rng (epoch_perm()) and per-step keys fold the
+    GLOBAL step index into the epoch key exactly as the host loop does
+    (fold_in(ekey, i)), so batch streams and rng draws are identical to
+    per-step dispatch — exact metric parity on CPU (test_fast_train, 1e-6
+    over full runs). On TPU, XLA compiles the scanned body as a different
+    program than the standalone step, so trajectories drift at float
+    rounding level (first logged losses agree to ~1e-5; drift grows with
+    training feedback but stays far below seed noise; the on-chip
+    resident-vs-stacked drive reproduced the committed train100 trajectory
+    to 4 decimals through 2 epochs). The returned
+    (state, first-step metrics, nonfinite-latch-max) reproduces the loop's
+    log-at-chunk-start sampling and its per-log-step NaN check window; one
+    compiled program per distinct chunk length (the epoch tail recompiles
+    once).
 
     run_chunk(state, arrays, perm, pools, pool_sizes, base_key, kidxs,
     bidxs) where arrays = {k: [n, ...]} device-resident, perm [nb*bs]

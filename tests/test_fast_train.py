@@ -1,5 +1,5 @@
 """Fast-train parity: the chunked-scan epoch driver (cfg.fast_train,
-steps.make_chunk_runner + loop._run_chunked) must reproduce per-step
+steps.make_resident_chunk_runner + loop._run_chunked) must reproduce per-step
 dispatch EXACTLY — same batch order (BatchIterator.stacked draws the same
 permutation __iter__ would), same fold_in(ekey, i) keys per global step
 index, same log-cadence metric sampling — across full run_seed, base and
