@@ -73,6 +73,21 @@ def test_fast_train_matches_loop_dr(tmp_path, data):
         assert fast[k] == pytest.approx(slow[k], abs=1e-6), k
 
 
+def test_fast_train_matches_loop_c2dsr(tmp_path, data):
+    """The C2DSR contrastive step (corrupted views sampled inside the jit
+    step) must scan identically too — results/c2dsr_full was produced on
+    this path."""
+    train, val, _ = data
+    kw = dict(is_c2dsr=True)
+    cfg_fast = _cfg(tmp_path / "f", **kw)
+    cfg_slow = _cfg(tmp_path / "s", **kw)
+    cfg_slow.fast_train = False
+    fast = run_seed(cfg_fast, seed=0, train_ds=train, val_ds=val)
+    slow = run_seed(cfg_slow, seed=0, train_ds=train, val_ds=val)
+    for k in _metric_keys(slow):
+        assert fast[k] == pytest.approx(slow[k], abs=1e-6), k
+
+
 def test_fast_train_matches_loop_lazy(tmp_path, data):
     """The lazy-Adam steps must scan too (bench.py already scans them; this
     pins the trainer wiring end to end)."""
