@@ -191,6 +191,13 @@ class TrainConfig:
     # vocab); best-epoch METRICS come from logs, so frequent saves buy
     # nothing. 0 = save on every improvement.
     checkpoint_every: int = 10
+    # Async orbax saves: save() returns after staging the device→host fetch,
+    # serialization happens on a background thread (restore/close wait).
+    # Payload modes cut the fetched bytes: "bf16_moments" halves the Adam
+    # moments, "params_only" drops them (resume restarts the optimizer).
+    # Costs measured in results/ckpt_cost.json (train/checkpoint.py).
+    checkpoint_async: bool = True
+    checkpoint_payload: str = "full"
     profile_steps: int = 0  # >0: capture a jax.profiler trace of the first N
     #                         steps of epoch 0 into model_dir/profile
     resume: bool = False  # restore latest checkpoint and continue
@@ -216,14 +223,17 @@ class TrainConfig:
     # Eval pass as ONE lax.scan over the device-resident stacked val batches
     # (steps.make_scanned_eval) instead of nb host-dispatched steps; metrics
     # are bit-identical to the loop path (same fold_in(key, i) draws —
-    # test_fast_eval). Applies to the single-device trainer (mesh runs keep
-    # the loop so batch sharding stays per-step).
+    # test_fast_eval). Applies to single-device AND gspmd-mesh runs (the
+    # stacked batches are pre-sharded P(None, data)); shard_map keeps the
+    # per-step loop.
     fast_eval: bool = True
     # Train epochs as log-cadence lax.scan chunks (steps.make_resident_chunk_runner):
     # ~log_every x fewer dispatches, one stacked slice per epoch, identical
     # batch/rng streams and log sampling; exact metric parity on CPU
     # (test_fast_train), float-rounding drift on TPU (recompiled program —
-    # well below seed noise). Mesh/profiling runs keep the per-step loop.
+    # well below seed noise). gspmd-mesh runs scan too (replicated resident
+    # arrays + batch sharding constraint, test_mesh_trainer);
+    # shard_map/profiling runs keep the per-step loop.
     fast_train: bool = True
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -292,8 +302,17 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
                         "batches (metric-identical to the loop path)")
     p.add_argument("--fast_train", type=_parse_bool, default=True,
                    help="train epochs as log-cadence lax.scan chunks "
-                        "(bit-identical to per-step dispatch)")
+                        "(exact metric parity vs per-step dispatch on CPU; "
+                        "float-rounding-level trajectory drift on TPU — "
+                        "different compiled program)")
     p.add_argument("--checkpoint", type=_parse_bool, default=True)
+    p.add_argument("--checkpoint_async", type=_parse_bool, default=True,
+                   help="orbax async saves: serialization on a background "
+                        "thread (restore/close wait for in-flight saves)")
+    p.add_argument("--checkpoint_payload", type=str, default="full",
+                   choices=["full", "bf16_moments", "params_only"],
+                   help="bf16_moments halves the optimizer-moment bytes; "
+                        "params_only drops them (resume restarts Adam)")
     p.add_argument("--resume", type=_parse_bool, default=False)
     p.add_argument("--subdomain", type=int, default=-1,
                    help=">=0: single-domain mode — keep only rows of this "
@@ -368,6 +387,8 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         fast_train=a.fast_train,
         cl_w=a.cl_w,
         checkpoint=a.checkpoint,
+        checkpoint_async=a.checkpoint_async,
+        checkpoint_payload=a.checkpoint_payload,
         use_mesh=a.mesh or a.model_axis != 1 or a.data_axis > 0,
         mesh_impl=a.mesh_impl,
         model=model,

@@ -47,11 +47,12 @@ class BatchIterator:
             yield {k: v[idx] for k, v in self._arrays.items()}
 
     def stacked(self) -> dict[str, np.ndarray]:
-        """One epoch's batches as [nb, bs, ...] arrays — the scanned-train
-        fast path (train.loop). Draws the SAME single permutation from the
-        iterator's rng that __iter__ would, so alternating stacked()/
-        __iter__ epochs see identical batch streams (test_fast_train pins
-        full-run parity)."""
+        """One epoch's batches as [nb, bs, ...] arrays — the host-stacked
+        twin of epoch_perm(), used by test_fast_train to pin rng-stream
+        parity (train.loop itself ships only epoch_perm() + arrays()).
+        Draws the SAME single permutation from the iterator's rng that
+        __iter__ would, so alternating stacked()/__iter__ epochs see
+        identical batch streams."""
         idx = self.epoch_perm().reshape(len(self), self.batch_size)
         return {k: v[idx] for k, v in self._arrays.items()}
 

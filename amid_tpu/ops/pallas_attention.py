@@ -60,8 +60,18 @@ def _lane_mask(d, h_idx, dh):
     return ((lane // dh) == h_idx).astype(jnp.float32)
 
 
-def _bdot(x, y, contract):
-    """Batched dot over leading batch dim: x [B, ., .], y [B, ., .]."""
+def _bdot(x, y, contract, dtype=None):
+    """Batched dot over leading batch dim: x [B, ., .], y [B, ., .].
+
+    dtype=bfloat16 casts the OPERANDS only (accumulation stays fp32 via
+    preferred_element_type) — the MXU-native single-pass mode. Mosaic runs
+    fp32-operand matmuls as multi-pass fp32 regardless of jax's DEFAULT
+    matmul precision, so without the cast the kernel pays ~6x the MXU work
+    that the surrounding XLA ops (which do honor DEFAULT = bf16-input /
+    fp32-accumulate on TPU) pay; the measured-no-op metric result for that
+    precision class is results/bf16_drive* (BASELINE.md)."""
+    if dtype is not None:
+        x, y = x.astype(dtype), y.astype(dtype)
     return jax.lax.dot_general(
         x, y,
         dimension_numbers=((contract[0], contract[1]), ((0,), (0,))),
@@ -85,7 +95,7 @@ def _bias_block(bias_ref):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads,
-                rate):
+                rate, mxu):
     tb, t, d = q_ref.shape
     dh = d // heads
     scale = 1.0 / math.sqrt(dh)
@@ -94,17 +104,17 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads,
     o = jnp.zeros((tb, t, d), jnp.float32)
     for h_idx in range(heads):
         m = _lane_mask(d, h_idx, dh)
-        s = _bdot(q * m, k, ((2,), (2,))) * scale + bias  # [TB, T, T]
+        s = _bdot(q * m, k, ((2,), (2,)), mxu) * scale + bias  # [TB, T, T]
         p = jax.nn.softmax(s, axis=-1)
         if rate > 0.0:
             pltpu.prng_seed(seed_ref[0], pl.program_id(0) * heads + h_idx)
             p = p * _dropout_mask(p.shape, rate) * (1.0 / (1.0 - rate))
-        o = o + _bdot(p, v * m, ((2,), (1,)))  # lands in head lanes
+        o = o + _bdot(p, v * m, ((2,), (1,)), mxu)  # lands in head lanes
     o_ref[:] = o
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, heads, rate):
+                dq_ref, dk_ref, dv_ref, *, heads, rate, mxu):
     tb, t, d = q_ref.shape
     dh = d // heads
     scale = 1.0 / math.sqrt(dh)
@@ -116,7 +126,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     for h_idx in range(heads):
         m = _lane_mask(d, h_idx, dh)
-        s = _bdot(q * m, k, ((2,), (2,))) * scale + bias
+        s = _bdot(q * m, k, ((2,), (2,)), mxu) * scale + bias
         p = jax.nn.softmax(s, axis=-1)
         do_h = do * m
         if rate > 0.0:
@@ -126,13 +136,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         else:
             keep = None
             pd = p
-        dv = dv + _bdot(pd, do_h, ((1,), (1,)))  # Pd^T dO_h
-        dp = _bdot(do_h, v, ((2,), (2,)))  # dO_h V^T (masked lanes -> head h)
+        dv = dv + _bdot(pd, do_h, ((1,), (1,)), mxu)  # Pd^T dO_h
+        # dO_h V^T (masked lanes -> head h)
+        dp = _bdot(do_h, v, ((2,), (2,)), mxu)
         if keep is not None:
             dp = dp * keep * inv_keep
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = dq + _bdot(ds, k, ((2,), (1,))) * m * scale
-        dk = dk + _bdot(ds, q, ((1,), (1,))) * m * scale
+        dq = dq + _bdot(ds, k, ((2,), (1,)), mxu) * m * scale
+        dk = dk + _bdot(ds, q, ((1,), (1,)), mxu) * m * scale
     dq_ref[:] = dq
     dk_ref[:] = dk
     dv_ref[:] = dv
@@ -175,15 +186,27 @@ def _check_bias(bias, bsz, t):
         )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_attention(q, k, v, bias, seed, heads, rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention(q, k, v, bias, seed, heads, rate, mxu_bf16=False):
     """q, k, v: [B, T, D]; bias: additive [1|B, 1, 1|T, T]; seed: [1] int32
-    array (traced — varies per step without recompiling); heads/rate static.
-    Returns [B, T, D]. bias and seed receive zero cotangents."""
-    return _fused_fwd_impl(q, k, v, bias, seed, heads, rate)
+    array (traced — varies per step without recompiling); heads/rate/
+    mxu_bf16 static. Returns [B, T, D]. bias and seed receive zero
+    cotangents.
+
+    mxu_bf16=True casts every matmul's operands to bfloat16 (fp32
+    accumulation — see _bdot): the precision class the surrounding XLA ops
+    already run at under jax's TPU DEFAULT, vs Mosaic's full-fp32
+    multi-pass. The dispatch site (models/encoders.py) selects it
+    measurement-driven; False keeps exact-fp32 parity with the interpret-
+    mode oracles (test_pallas_attention)."""
+    return _fused_fwd_impl(q, k, v, bias, seed, heads, rate, mxu_bf16)
 
 
-def _fused_fwd_impl(q, k, v, bias, seed, heads, rate):
+def _mxu(mxu_bf16):
+    return jnp.bfloat16 if mxu_bf16 else None
+
+
+def _fused_fwd_impl(q, k, v, bias, seed, heads, rate, mxu_bf16=False):
     bsz, t, d = q.shape
     _check_bias(bias, bsz, t)
     tb = _tile_b(t)
@@ -192,7 +215,8 @@ def _fused_fwd_impl(q, k, v, bias, seed, heads, rate):
     bias_p = _pad_b(bias, tb) if bias_batched else bias
     io, bspec = _specs(qp.shape[0], t, d, bias.shape, tb)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, rate=rate),
+        functools.partial(_fwd_kernel, heads=heads, rate=rate,
+                          mxu=_mxu(mxu_bf16)),
         grid=(qp.shape[0] // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
@@ -204,12 +228,12 @@ def _fused_fwd_impl(q, k, v, bias, seed, heads, rate):
     return out[:bsz]
 
 
-def _vjp_fwd(q, k, v, bias, seed, heads, rate):
-    out = _fused_fwd_impl(q, k, v, bias, seed, heads, rate)
+def _vjp_fwd(q, k, v, bias, seed, heads, rate, mxu_bf16):
+    out = _fused_fwd_impl(q, k, v, bias, seed, heads, rate, mxu_bf16)
     return out, (q, k, v, bias, seed)
 
 
-def _vjp_bwd(heads, rate, res, g):
+def _vjp_bwd(heads, rate, mxu_bf16, res, g):
     q, k, v, bias, seed = res
     bsz, t, d = q.shape
     tb = _tile_b(t)
@@ -218,7 +242,8 @@ def _vjp_bwd(heads, rate, res, g):
     bias_p = _pad_b(bias, tb) if bias_batched else bias
     io, bspec = _specs(qp.shape[0], t, d, bias.shape, tb)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=heads, rate=rate),
+        functools.partial(_bwd_kernel, heads=heads, rate=rate,
+                          mxu=_mxu(mxu_bf16)),
         grid=(qp.shape[0] // tb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

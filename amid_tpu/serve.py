@@ -67,6 +67,10 @@ def full_catalog_topk(
     )
     u_part = user_repr @ k_user  # [B, H]
 
+    # The default tile is tuned for ~1M-row catalogs (serve_bench_fused
+    # sweep); clamp to the catalog so small catalogs don't pad every pass
+    # to a 262144-row multiple of wasted HBM/compute (lane-align to 128).
+    tile = min(tile, max(-(-v // 128) * 128, 128))
     n_tiles = -(-v // tile)
     v_pad = n_tiles * tile
     table = jnp.pad(item_table, ((0, v_pad - v), (0, 0)))

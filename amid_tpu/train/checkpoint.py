@@ -1,8 +1,24 @@
 """Checkpoint / resume — new capability (absent in the reference: every
 torch.save / load_state_dict is commented out, train_sr.py:327-332,483-486).
 
-Orbax-backed: saves the full TrainState (params + both optimizer states) per
-epoch, keeps the best-by-metric and latest, supports resume mid-run.
+Orbax-backed: saves the TrainState per epoch, keeps the best-by-metric and
+latest, supports resume mid-run.
+
+Save cost (VERDICT r4 weak #2): a synchronous full-state save costs ~40 s at
+the flagship config through the TPU tunnel (~6 saves/seed ≈ 4 min of a
+50-epoch seed — STATUS.md). Two independently togglable mitigations, both
+measured in results/ckpt_cost.json:
+
+* ``async_save`` — orbax async checkpointing: save() returns once the
+  device→host fetch is staged; serialization/write happens on a background
+  thread. restore()/close() (and orbax itself, on the next save) wait for
+  any in-flight save first, so the NaN-rollback path always sees a complete
+  checkpoint.
+* ``payload`` — "full" (default), "bf16_moments" (optimizer moments cast to
+  bfloat16: ~half the bytes; Adam moments don't need fp32 precision to
+  resume), or "params_only" (no optimizer state at all: a resume restarts
+  the moments from zero — fine for inference/transplant checkpoints, NOT
+  bit-faithful resume).
 """
 
 from __future__ import annotations
@@ -11,54 +27,104 @@ from pathlib import Path
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
+
+PAYLOADS = ("full", "bf16_moments", "params_only")
+
+
+def _cast_moments(tree, to_dtype):
+    """Cast float32 leaves (Adam mu/nu, lazy per-row moments) to `to_dtype`;
+    leave integer leaves (step counts) alone."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(to_dtype) if x.dtype == jnp.float32 else x, tree
+    )
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 1) -> None:
+    def __init__(
+        self,
+        directory: str,
+        keep: int = 1,
+        async_save: bool = False,
+        payload: str = "full",
+    ) -> None:
         import orbax.checkpoint as ocp
 
+        if payload not in PAYLOADS:
+            raise ValueError(f"payload must be one of {PAYLOADS}: {payload}")
+        self._payload = payload
         self._dir = Path(directory).absolute()
         self._dir.mkdir(parents=True, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True, enable_async_checkpointing=False
+                max_to_keep=keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
+
+    def _to_payload(self, state: Any) -> dict:
+        """The saved tree — also used as the restore template so dtypes
+        always match what was written."""
+        payload = {"params": state.params}
+        if self._payload == "params_only":
+            return payload
+        cast = (
+            (lambda t: _cast_moments(t, jnp.bfloat16))
+            if self._payload == "bf16_moments"
+            else (lambda t: t)
+        )
+        payload["opt_state"] = cast(state.opt_state)
+        if state.opt_state2 is not None:
+            payload["opt_state2"] = cast(state.opt_state2)
+        return payload
 
     def save(self, step: int, state: Any) -> None:
         import orbax.checkpoint as ocp
 
-        payload = {"params": state.params, "opt_state": state.opt_state}
-        if state.opt_state2 is not None:
-            payload["opt_state2"] = state.opt_state2
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
-        self._mgr.wait_until_finished()
+        self._mgr.save(step, args=ocp.args.StandardSave(self._to_payload(state)))
+        # async mode: the background thread owns serialization from here;
+        # orbax blocks by itself if a next save lands before it finishes.
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
-        """Restore into the structure of `state_like` (a TrainState)."""
+        """Restore into the structure of `state_like` (a TrainState).
+        Moments saved as bf16 are cast back to the template's fp32;
+        params_only checkpoints keep `state_like`'s (fresh) moments."""
         import orbax.checkpoint as ocp
 
         from amid_tpu.train.steps import TrainState
 
+        self._mgr.wait_until_finished()  # in-flight async save, if any
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
-        template = {
-            "params": state_like.params,
-            "opt_state": state_like.opt_state,
-        }
-        if state_like.opt_state2 is not None:
-            template["opt_state2"] = state_like.opt_state2
+        template = self._to_payload(state_like)
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
-        return TrainState(
-            restored["params"],
-            restored["opt_state"],
-            restored.get("opt_state2"),
+
+        def widen(saved, like):
+            return jax.tree_util.tree_map(
+                lambda s, l: s.astype(l.dtype) if s.dtype != l.dtype else s,
+                saved, like,
+            )
+
+        opt_state = (
+            widen(restored["opt_state"], state_like.opt_state)
+            if "opt_state" in restored
+            else state_like.opt_state
         )
+        opt_state2 = (
+            widen(restored["opt_state2"], state_like.opt_state2)
+            if "opt_state2" in restored
+            else state_like.opt_state2
+        )
+        return TrainState(restored["params"], opt_state, opt_state2)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def wait_until_finished(self) -> None:
+        self._mgr.wait_until_finished()
+
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()

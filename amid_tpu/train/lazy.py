@@ -119,7 +119,10 @@ def _make_lazy_step(
         # (size=1048576) space=smem". Keep 25% headroom for the kernel's
         # other scalars and dispatch XLA scatters above it (the capability
         # sweeps, results/bench_dense_sweep.out, cover which optimizer
-        # wins at those batches anyway).
+        # wins at those batches anyway). The 1 MB budget is the v5e
+        # generation's (the measured target); other TPU generations differ
+        # (e.g. some have larger SMEM) — re-measure the AOT threshold
+        # before trusting this constant on a new generation.
         return u_budget * 4 <= 786_432
 
     # Donating the state lets XLA update the table/moment buffers in place:

@@ -79,12 +79,14 @@ def evaluate(
     t_dispatch = 0.0
     for i, batch in enumerate(val_iter):
         td = time.perf_counter()
+        host_batch = batch  # host-side dom/ov: readable under any sharding
         if put is not None:
             batch = put(batch)
         out = eval_step(params, batch, pools, pool_sizes, jax.random.fold_in(key, i))
         t_dispatch += time.perf_counter() - td
         acc.add(
-            out["ranks_fixed"], out["ranks_raw"], batch["domain_id"], batch["overlap"]
+            out["ranks_fixed"], out["ranks_raw"],
+            host_batch["domain_id"], host_batch["overlap"],
         )
         # defer the host fetch — all eval batches dispatch back-to-back
         val_losses.append(out["loss_cls"])
@@ -92,9 +94,15 @@ def evaluate(
     tf = time.perf_counter()
     metrics = acc.finalize()
     # one stacked fetch instead of one ~1 ms tunnel round-trip per batch
-    metrics["val_loss"] = (
-        float(jnp.stack(val_losses).mean()) if val_losses else 0.0
-    )
+    # (multi-process: the losses are replicated global arrays — eager
+    # jnp.stack over non-addressable devices is not allowed, so fetch the
+    # scalars individually; there is no tunnel RTT to amortize there)
+    if not val_losses:
+        metrics["val_loss"] = 0.0
+    elif jax.process_count() > 1:
+        metrics["val_loss"] = float(np.mean([float(v) for v in val_losses]))
+    else:
+        metrics["val_loss"] = float(jnp.stack(val_losses).mean())
     if log is not None:
         log.debug(
             f"eval pass: batch-build {t_iter:.2f}s dispatch {t_dispatch:.2f}s "
@@ -131,7 +139,9 @@ def evaluate_scanned(
         ov.reshape(-1),
     )
     metrics = acc.finalize()
-    metrics["val_loss"] = float(out["loss_cls"].mean())
+    # np.asarray first: works for replicated multi-process arrays too,
+    # where an eager .mean() over non-addressable devices would not
+    metrics["val_loss"] = float(np.asarray(out["loss_cls"]).mean())
     if log is not None:
         log.debug(f"eval pass (scanned): {time.perf_counter() - t0:.2f}s")
     return metrics
@@ -285,6 +295,8 @@ def run_seed(
     # shard_map: the steps are rebuilt around explicit collectives
     # (parallel/spmd.py) — dense Adam only.
     put = lambda b: b  # noqa: E731
+    mesh = bsh = repl = None
+    nproc = 1
     if cfg.use_mesh:
         from amid_tpu.parallel.mesh import (
             batch_sharding, make_mesh, replicated, state_shardings,
@@ -316,15 +328,35 @@ def run_seed(
             )
             dr_step = make_spmd_dr_r_step(model, tx2, mesh) if is_dr else None
             eval_step = make_spmd_eval_step(model, cfg.data.neg_nums, mesh)
+        # Multi-process (multi-host slice / 2-process gloo test): every
+        # process runs this same program with identical host data (loaders
+        # and init are seed-deterministic), and put_global assembles global
+        # arrays by handing each process's addressable shards their slice —
+        # the make_array_from_process_local_data/host_local_slice semantics
+        # generalized to every trainer sharding (test_distributed drives a
+        # full DR run_seed across 2 real processes). Eval-step outputs are
+        # forced replicated so every process can read its rank vectors.
+        nproc = jax.process_count()
+        if nproc > 1 and cfg.mesh_impl != "gspmd":
+            raise ValueError("multi-process runs require mesh_impl=gspmd")
+        from amid_tpu.parallel.distributed import put_global
+
         repl = replicated(mesh)
         bsh = batch_sharding(mesh)
-        state = jax.device_put(state, state_shardings(mesh, state))
-        pools, pool_sizes = jax.device_put((pools, pool_sizes), repl)
-        vpools, vpool_sizes = jax.device_put((vpools, vpool_sizes), repl)
+        state = put_global(state, state_shardings(mesh, state))
+        pools, pool_sizes = put_global((pools, pool_sizes), repl)
+        vpools, vpool_sizes = put_global((vpools, vpool_sizes), repl)
         if dpools is not None:
-            dpools, dpool_sizes = jax.device_put((dpools, dpool_sizes), repl)
-        put = lambda b: jax.device_put(b, bsh)  # noqa: E731
-        log.info(f"mesh: {dict(mesh.shape)} impl={cfg.mesh_impl}")
+            dpools, dpool_sizes = put_global((dpools, dpool_sizes), repl)
+        put = lambda b: put_global(b, bsh)  # noqa: E731
+        if nproc > 1:
+            eval_step = jax.jit(
+                make_eval_step(model, cfg.data.neg_nums, jit=False),
+                out_shardings=repl,
+            )
+        log.info(
+            f"mesh: {dict(mesh.shape)} impl={cfg.mesh_impl} processes={nproc}"
+        )
 
     train_iter = BatchIterator(
         train_ds, cfg.model.batch_size, shuffle=True, seed=seed, drop_last=True
@@ -343,12 +375,16 @@ def run_seed(
     # (shuffle=False, drop_last=True), so stack its batches ONCE, park them
     # on device, and run each eval pass as a single lax.scan program.
     # Metric-identical to the loop path (same fold_in(key, i) draws —
-    # test_fast_eval); mesh runs keep the per-step loop so batch sharding
-    # stays explicit.
+    # test_fast_eval). GSPMD mesh runs scan too (the stacked [nb, bs, ...]
+    # batches are pre-sharded P(None, data), so each scan slice comes out
+    # batch-sharded exactly like the per-step path's device_put —
+    # test_mesh_trainer pins parity); shard_map keeps the per-step loop
+    # (its steps are prejitted around explicit collectives).
     scanned_eval = None
+    mesh_scan_ok = not cfg.use_mesh or cfg.mesh_impl == "gspmd"
     if (
         cfg.fast_eval
-        and not cfg.use_mesh
+        and mesh_scan_ok
         and cfg.eval_batch_drop_last
         and len(val_iter) > 0
     ):
@@ -360,11 +396,23 @@ def run_seed(
         vidx = np.arange(nbv * bsv).reshape(nbv, bsv)
         val_dom = varrays["domain_id"][vidx]
         val_ov = varrays["overlap"][vidx]
-        val_batches_dev = {
-            k: jax.device_put(jnp_.asarray(v[vidx]))
-            for k, v in varrays.items()
-        }
-        scanned_eval = make_scanned_eval(model, cfg.data.neg_nums)
+        if cfg.use_mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            stacked_sh = NamedSharding(mesh, P_(None, "data"))
+            val_batches_dev = {
+                k: put_global(jnp_.asarray(v[vidx]), stacked_sh)
+                for k, v in varrays.items()
+            }
+        else:
+            val_batches_dev = {
+                k: jax.device_put(jnp_.asarray(v[vidx]))
+                for k, v in varrays.items()
+            }
+        scanned_eval = make_scanned_eval(
+            model, cfg.data.neg_nums,
+            out_shardings=repl if nproc > 1 else None,
+        )
 
     ckpt = None
     start_epoch = 0
@@ -372,7 +420,8 @@ def run_seed(
         from amid_tpu.train.checkpoint import CheckpointManager
 
         ckpt = CheckpointManager(
-            f"{cfg.model_dir}/checkpoint/seed{seed}", keep=cfg.checkpoint_keep
+            f"{cfg.model_dir}/checkpoint/seed{seed}", keep=cfg.checkpoint_keep,
+            async_save=cfg.checkpoint_async, payload=cfg.checkpoint_payload,
         )
         if cfg.resume:
             restored = ckpt.restore(state)
@@ -384,24 +433,37 @@ def run_seed(
 
     # Fast train (cfg.fast_train): chunk the epoch into log-cadence scans
     # over the DEVICE-RESIDENT dataset (steps.make_resident_chunk_runner)
-    # — per epoch only the permutation crosses the tunnel. Mesh/profiling
-    # runs keep per-step dispatch.
-    fast_train = cfg.fast_train and not cfg.use_mesh and not cfg.profile_steps
+    # — per epoch only the permutation crosses the tunnel. GSPMD mesh runs
+    # scan too: the resident arrays are REPLICATED on every device (the
+    # per-step permutation gather addresses arbitrary rows) and the
+    # gathered batch is sharding-constrained onto the `data` axis, so the
+    # step partitions exactly as per-step dispatch does (VERDICT r4 #3 —
+    # without this, multi-chip runs re-enter the host-dispatch-bound
+    # regime). shard_map / profiling runs keep per-step dispatch.
+    fast_train = cfg.fast_train and mesh_scan_ok and not cfg.profile_steps
     chunk_runner = dr_chunk_runner = None
     train_arrays_dev = dr_arrays_dev = None
+    resident_put = (
+        (lambda x: put_global(x, repl)) if cfg.use_mesh
+        else jax.device_put
+    )
     if fast_train:
         import jax.numpy as jnp_
 
         bsz = cfg.model.batch_size
-        chunk_runner = make_resident_chunk_runner(train_step, bsz)
+        chunk_runner = make_resident_chunk_runner(
+            train_step, bsz, batch_sharding=bsh if cfg.use_mesh else None
+        )
         train_arrays_dev = {
-            k: jax.device_put(jnp_.asarray(v))
+            k: resident_put(jnp_.asarray(v))
             for k, v in train_iter.arrays().items()
         }
         if dr_step is not None and dr_iter is not None:
-            dr_chunk_runner = make_resident_chunk_runner(dr_step, bsz)
+            dr_chunk_runner = make_resident_chunk_runner(
+                dr_step, bsz, batch_sharding=bsh if cfg.use_mesh else None
+            )
             dr_arrays_dev = {
-                k: jax.device_put(jnp_.asarray(v))
+                k: resident_put(jnp_.asarray(v))
                 for k, v in dr_iter.arrays().items()
             }
 
@@ -435,7 +497,7 @@ def run_seed(
 
             import jax.numpy as jnp_
 
-            perm_dev = jax.device_put(jnp_.asarray(train_iter.epoch_perm()))
+            perm_dev = resident_put(jnp_.asarray(train_iter.epoch_perm()))
             state = _run_chunked(
                 chunk_runner, state, train_arrays_dev, perm_dev,
                 len(train_iter), pools, pool_sizes,
@@ -508,8 +570,7 @@ def run_seed(
 
                 import jax.numpy as jnp_
 
-                dperm_dev = jax.device_put(
-                    jnp_.asarray(dr_iter.epoch_perm()))
+                dperm_dev = resident_put(jnp_.asarray(dr_iter.epoch_perm()))
                 state = _run_chunked(
                     dr_chunk_runner, state, dr_arrays_dev, dperm_dev,
                     len(dr_iter), dpools, dpool_sizes, ekey, 20_000,

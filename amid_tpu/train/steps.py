@@ -195,7 +195,9 @@ def make_eval_step(model, num_neg: int, jit: bool = True) -> Callable:
     return jax.jit(step) if jit else step
 
 
-def make_resident_chunk_runner(step, batch_size: int) -> Callable:
+def make_resident_chunk_runner(
+    step, batch_size: int, batch_sharding=None
+) -> Callable:
     """A contiguous chunk of train steps as ONE device program over the
     DEVICE-RESIDENT dataset (the scanned-train fast path, cfg.fast_train):
     lax.scan carries the TrainState; the full per-row arrays live on
@@ -222,7 +224,15 @@ def make_resident_chunk_runner(step, batch_size: int) -> Callable:
     bidxs) where arrays = {k: [n, ...]} device-resident, perm [nb*bs]
     int32, kidxs [chunk] = key-fold step indices (phase B offsets these by
     20_000 — loop.py), bidxs [chunk] = batch positions 0..nb-1 within the
-    epoch (row addressing)."""
+    epoch (row addressing).
+
+    batch_sharding (mesh runs): the resident arrays stay REPLICATED on
+    every device (the permutation gather addresses arbitrary rows, so
+    row-sharding them would turn each step's gather into an all-to-all);
+    the gathered batch is constrained to the `data`-axis sharding instead,
+    so every op downstream of the gather partitions exactly as the
+    per-step mesh path does — each device gathers from its full local
+    copy and keeps only its batch shard, zero collectives added."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(state, arrays, perm, pools, pool_sizes, base_key,
@@ -233,6 +243,10 @@ def make_resident_chunk_runner(step, batch_size: int) -> Callable:
                 perm, (bi * batch_size,), (batch_size,)
             )
             b = {k: jnp.take(v, rows, axis=0) for k, v in arrays.items()}
+            if batch_sharding is not None:
+                b = jax.lax.with_sharding_constraint(
+                    b, jax.tree_util.tree_map(lambda _: batch_sharding, b)
+                )
             s2, m = step(s, b, pools, pool_sizes,
                          jax.random.fold_in(base_key, ki))
             return s2, m
@@ -249,7 +263,7 @@ def make_resident_chunk_runner(step, batch_size: int) -> Callable:
     return run_chunk
 
 
-def make_scanned_eval(model, num_neg: int) -> Callable:
+def make_scanned_eval(model, num_neg: int, out_shardings=None) -> Callable:
     """The WHOLE eval pass as one compiled program (TPU-native rewrite of
     the per-batch loop): `lax.scan` of the eval step over the stacked val
     batches. The val loader is deterministic (shuffle=False,
@@ -261,10 +275,15 @@ def make_scanned_eval(model, num_neg: int) -> Callable:
     IDENTICAL (test_fast_eval pins this).
 
     Returns eval_all(params, batches, pools, pool_sizes, key) ->
-    {loss_cls: [nb], ranks_fixed: [nb, B], ranks_raw: [nb, B]}."""
-    body_step = make_eval_step(model, num_neg, jit=False)
+    {loss_cls: [nb], ranks_fixed: [nb, B], ranks_raw: [nb, B]}.
 
-    @jax.jit
+    out_shardings (multi-process mesh runs): force the outputs replicated
+    so every process can read the full rank vectors for host
+    accumulation."""
+    body_step = make_eval_step(model, num_neg, jit=False)
+    jit_kw = {} if out_shardings is None else {"out_shardings": out_shardings}
+
+    @functools.partial(jax.jit, **jit_kw)
     def eval_all(params, batches, pools, pool_sizes, key):
         nb = next(iter(batches.values())).shape[0]
 

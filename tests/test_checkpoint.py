@@ -111,3 +111,59 @@ def test_lazy_state_roundtrip(tmp_path, rng):
     )
     assert restored.opt_state2 is not None
     mgr.close()
+
+
+def test_async_roundtrip(tmp_path, rng):
+    """async_save: save() returns immediately; restore() waits for the
+    in-flight write (the NaN-rollback path relies on this)."""
+    state = _state(rng)
+    mgr = CheckpointManager(str(tmp_path / "as"), keep=1, async_save=True)
+    mgr.save(2, state)
+    restored = mgr.restore(_state(rng, seed_val=50.0))
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"])
+    )
+    mgr.close()
+
+
+def test_bf16_moments_roundtrip(tmp_path, rng):
+    """payload=bf16_moments: params exact, moments within bf16 rounding,
+    restored dtype back at fp32, integer leaves (Adam count) untouched."""
+    state = _state(rng)
+    # make moments non-trivial
+    mu = jax.tree_util.tree_map(lambda x: x + 0.123, state.params)
+    inner = state.opt_state[0]._replace(mu=mu, count=jnp.asarray(5, jnp.int32))
+    state = state._replace(opt_state=(inner,) + state.opt_state[1:])
+
+    mgr = CheckpointManager(
+        str(tmp_path / "bf"), keep=1, payload="bf16_moments"
+    )
+    mgr.save(1, state)
+    restored = mgr.restore(_state(rng, seed_val=9.0))
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"])
+    )
+    r_inner = restored.opt_state[0]
+    assert r_inner.mu["w"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(r_inner.mu["w"]), np.asarray(mu["w"]),
+        rtol=1e-2,  # bf16 has ~3 decimal digits
+    )
+    assert int(r_inner.count) == 5
+    mgr.close()
+
+
+def test_params_only_keeps_fresh_moments(tmp_path, rng):
+    state = _state(rng)
+    mgr = CheckpointManager(
+        str(tmp_path / "po"), keep=1, payload="params_only"
+    )
+    mgr.save(1, state)
+    blank = _state(rng, seed_val=3.0)
+    restored = mgr.restore(blank)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"])
+    )
+    # moments are the template's (fresh), not the saved run's
+    assert restored.opt_state is blank.opt_state
+    mgr.close()

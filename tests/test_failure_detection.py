@@ -106,8 +106,8 @@ def test_nan_policy_triggers_on_fast_train_path(tmp_path, rng, monkeypatch):
     )
     from test_train_smoke import _cfg, synth_dataset
 
-    def patched_make_runner(step, batch_size):
-        real_runner = real_make_runner(step, batch_size)
+    def patched_make_runner(step, batch_size, **kw):
+        real_runner = real_make_runner(step, batch_size, **kw)
 
         def runner(state, arrays, perm, pools, pool_sizes, base_key,
                    kidxs, bidxs):

@@ -115,3 +115,37 @@ def test_shard_map_rejects_lazy(tmp_path, data):
     cfg.lazy_table_adam = True
     with pytest.raises(ValueError, match="lazy_table_adam"):
         run_seed(cfg, seed=0, train_ds=train, val_ds=val)
+
+
+def test_gspmd_fast_loops_match_per_step(tmp_path, data, monkeypatch):
+    """VERDICT r4 #3: gspmd mesh runs default to the scanned fast loops
+    (device-resident dataset + batch sharding constraint) — metric parity
+    with the per-step mesh path on the full DR schedule, and the fast path
+    must actually engage (chunk runner built), since a silent fallback
+    would re-enter the host-dispatch-bound regime on real hardware."""
+    import amid_tpu.train.loop as loop_mod
+
+    built = []
+    orig = loop_mod.make_resident_chunk_runner
+
+    def counting(*a, **kw):
+        built.append(kw.get("batch_sharding"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(loop_mod, "make_resident_chunk_runner", counting)
+
+    train, val, dr = data
+    kw = dict(is_dr=True, is_itc=True, ts2=0.4)
+    fast = run_seed(
+        _mesh_cfg(tmp_path / "f", "gspmd", **kw),
+        seed=0, train_ds=train, val_ds=val, dr_ds=dr,
+    )
+    assert len(built) == 2 and all(sh is not None for sh in built)
+
+    cfg_slow = _mesh_cfg(tmp_path / "s", "gspmd", **kw)
+    cfg_slow.fast_train = False
+    cfg_slow.fast_eval = False
+    slow = run_seed(cfg_slow, seed=0, train_ds=train, val_ds=val, dr_ds=dr)
+    for k in slow:
+        if k.startswith(("hit_", "ndcg_", "mrr")):
+            assert fast[k] == pytest.approx(slow[k], abs=1e-5), k

@@ -94,3 +94,53 @@ def test_fused_attention_dropout_statistics(rng):
         pytest.skip("prng_random_bits is zero-filled in interpret mode")
     c = np.asarray(f(jnp.asarray([43], jnp.int32)))
     assert not np.allclose(a, c)
+
+
+def test_fused_attention_bf16_operands(rng):
+    """mxu_bf16=True casts matmul OPERANDS to bf16 with fp32 accumulation
+    (the XLA-path DEFAULT precision class on TPU); must match an oracle
+    that casts at the same points, and stay within bf16 rounding of the
+    exact-fp32 kernel."""
+    import math
+
+    q, k, v, bias = _data(rng)
+    seed = jnp.zeros((1,), jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_attention(q, k, v, bias, seed, 4, 0.0, True))
+        exact = np.asarray(fused_attention(q, k, v, bias, seed, 4, 0.0))
+
+    def bf16_oracle(q, k, v, bias, heads):
+        b, t, d = q.shape
+        dh = d // heads
+
+        def split(x):
+            return x.reshape(b, t, heads, dh).transpose(0, 2, 1, 3)
+
+        def bdot(x, y, spec):
+            return jnp.einsum(
+                spec, x.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+
+        s = bdot(split(q), split(k), "bhqd,bhkd->bhqk") / math.sqrt(dh)
+        p = jax.nn.softmax(s + bias, axis=-1)
+        o = bdot(p, split(v), "bhqk,bhkd->bhqd")
+        return o.transpose(0, 2, 1, 3).reshape(b, t, d)
+
+    want = np.asarray(bf16_oracle(q, k, v, bias, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # and the mode stays within bf16 rounding of exact fp32
+    np.testing.assert_allclose(got, exact, rtol=0.05, atol=0.05)
+
+
+def test_fused_attention_bf16_grads_finite(rng):
+    q, k, v, bias = _data(rng)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def loss(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, bias, seed, 4, 0.0, True) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a in g:
+        assert np.isfinite(np.asarray(a)).all()
