@@ -330,6 +330,18 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
                    choices=("gspmd", "shard_map"),
                    help="gspmd: jit + sharded arrays (XLA inserts "
                         "collectives); shard_map: explicit collectives")
+    # Multi-host launch (parallel/distributed.py): every process runs this
+    # same CLI; jax.distributed wires them into one runtime and run_seed's
+    # mesh path assembles global arrays per process. On Cloud TPU the
+    # coordinator is auto-discovered (--distributed True alone); elsewhere
+    # pass --coordinator host:port --num_processes N --process_id I.
+    p.add_argument("--distributed", type=_parse_bool, default=False,
+                   help="join a multi-process jax runtime before training "
+                        "(implies --mesh True, gspmd)")
+    p.add_argument("--coordinator", type=str, default="",
+                   help="coordinator address host:port (empty: auto)")
+    p.add_argument("--num_processes", type=int, default=-1)
+    p.add_argument("--process_id", type=int, default=-1)
 
 
 def _parse_bool(v: str) -> bool:
@@ -343,6 +355,15 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
     p = argparse.ArgumentParser(description="amid_tpu trainer")
     _add_reference_flags(p)
     a = p.parse_args(argv)
+    if a.distributed:
+        # must run before anything touches a jax backend (distributed.py)
+        from amid_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=a.coordinator or None,
+            num_processes=a.num_processes if a.num_processes > 0 else None,
+            process_id=a.process_id if a.process_id >= 0 else None,
+        )
     model = ModelConfig(
         backbone=a.model.lower(),
         emb_dim=a.emb_dim,
@@ -389,7 +410,8 @@ def parse_cli(argv: Optional[list[str]] = None, is_dr: bool = False) -> TrainCon
         checkpoint=a.checkpoint,
         checkpoint_async=a.checkpoint_async,
         checkpoint_payload=a.checkpoint_payload,
-        use_mesh=a.mesh or a.model_axis != 1 or a.data_axis > 0,
+        use_mesh=a.mesh or a.model_axis != 1 or a.data_axis > 0
+        or a.distributed,
         mesh_impl=a.mesh_impl,
         model=model,
         data=data,

@@ -22,7 +22,14 @@ Remaining deviation from `random.sample`: draws within a row are i.i.d.
 (sampling WITH replacement) rather than without; for the AMID eval shapes
 (999 draws from >=20k-item valid sets) the expected duplicate count is ~2% of
 draws and affects ranks at distribution level only (SURVEY.md §7
-"exact-match eval").
+"exact-match eval"). Empirically bounded (results/sampler_wr.json,
+tools/exp_sampler_wr.py): scoring the committed loan_fund-DR seed-3 weights
+over the full 999-neg test pass, 3 draws each scheme, the worst per-metric
+|i.i.d. - without-replacement| delta is 0.0012 (hit_10_d2, i.i.d. the
+slightly easier direction as duplicates shrink the distinct-negative set) —
+~2x the draw noise (std <= 0.0004 per scheme) and well under the ~0.004
+seed-to-seed std of the committed 5-seed tables, so the deviation stays
+distribution-level as claimed.
 """
 
 from __future__ import annotations

@@ -192,3 +192,28 @@ def test_pooled_seed_aggregate_is_exact():
     full = np.concatenate([a, b])
     assert got[0] == pytest.approx(full.mean(), abs=1e-12)
     assert got[1] == pytest.approx(full.std(), abs=1e-12)
+
+
+def test_cli_distributed_flag(monkeypatch):
+    """--distributed joins the multi-process runtime BEFORE any backend
+    touch and implies mesh training; single-process it reduces to a no-op
+    join (auto-discovery unavailable) so the same CLI line works at any
+    process count."""
+    import amid_tpu.config as config_mod
+    from amid_tpu.parallel import distributed as dist_mod
+
+    calls = []
+    monkeypatch.setattr(
+        dist_mod, "initialize_distributed",
+        lambda **kw: calls.append(kw),
+    )
+    cfg = config_mod.parse_cli(
+        ["--distributed", "True", "--coordinator", "h:1", "--num_processes",
+         "2", "--process_id", "1"]
+    )
+    assert cfg.use_mesh
+    assert calls == [dict(coordinator_address="h:1", num_processes=2,
+                          process_id=1)]
+
+    cfg = config_mod.parse_cli([])
+    assert len(calls) == 1  # no join without the flag
