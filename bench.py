@@ -45,7 +45,8 @@ def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
               kernels: str = "auto", lazy: bool = False,
               phase_b: bool = False, bf16: bool = False,
               batch_size: int = 256, matmul_precision: str = "",
-              fused_scatter: bool = True, device_loop: bool = True) -> float:
+              fused_scatter: bool = True, device_loop: bool = True,
+              remat: bool = False) -> float:
     # Defaults match the CLI defaults (argparse below) so programmatic
     # callers (tools/perf_pass.py) measure the shipping config: fused
     # 3-array scatter + on-device lax.scan timing loop.
@@ -62,6 +63,7 @@ def bench_tpu(steps: int = 100, warmup: int = 3, seq_len: int = 20,
     cfg.kernels = kernels
     cfg.use_bf16 = bf16
     cfg.matmul_precision = matmul_precision
+    cfg.remat = remat
     model = build_model(cfg)
     rng = np.random.default_rng(0)
     batch = _make_batch(cfg, num_neg=1, rng=rng)
@@ -316,6 +318,11 @@ if __name__ == "__main__":
     ap.add_argument("--dense", dest="lazy", action="store_false",
                     help="dense Adam over the full table (reference-"
                          "equivalent optimizer cost)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize encoder blocks in the backward "
+                         "(trades recompute for activation HBM traffic — "
+                         "the bs-8192 capability point is ~95% HBM-bound, "
+                         "results/roofline_8192.json)")
     args = ap.parse_args()
     if args.baseline:
         eps = bench_baseline()
@@ -329,7 +336,7 @@ if __name__ == "__main__":
                         batch_size=args.batch,
                         matmul_precision=args.matmul_precision,
                         fused_scatter=args.fused_scatter,
-                        device_loop=args.device_loop)
+                        device_loop=args.device_loop, remat=args.remat)
         print(json.dumps({
             "metric": "train_examples_per_s",
             "value": round(eps, 1),
