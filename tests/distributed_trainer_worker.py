@@ -13,7 +13,6 @@ Run: python distributed_trainer_worker.py <pid> <port> <data_axis> <model_axis> 
 import json
 import os
 import sys
-import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("XLA_FLAGS", None)  # 1 local CPU device per process
@@ -49,7 +48,9 @@ def main() -> None:
     val = synth_dataset(rng, n_rows=32)
     dr = synth_dataset(rng, n_rows=48)
 
-    tmp = tempfile.mkdtemp(prefix=f"dist_trainer_p{pid}_")
+    # shared model_dir across processes (the real-slice layout): process 0
+    # owns the log files (utils/logging.py) and orbax coordinates the save
+    tmp = os.environ["DIST_TRAINER_DIR"]
     is_dr = schedule == "dr"
     kw = dict(is_dr=True, is_itc=True, ts2=0.4) if is_dr else {}
     cfg = _cfg(tmp, **kw)
@@ -57,9 +58,20 @@ def main() -> None:
     cfg.use_mesh = True
     cfg.mesh_impl = "gspmd"
     cfg.mesh = MeshConfig(data_axis=data_axis, model_axis=model_axis)
+    if is_dr:
+        # exercise the multi-process orbax save (epoch-end checkpoint)
+        cfg.checkpoint = True
+        cfg.checkpoint_every = 0
     best = run_seed(
         cfg, seed=0, train_ds=train, val_ds=val, dr_ds=dr if is_dr else None
     )
+    if is_dr:
+        # ... and the multi-process restore: resume skips the trained epoch
+        cfg.resume = True
+        resumed = run_seed(
+            cfg, seed=0, train_ds=train, val_ds=val, dr_ds=dr
+        )
+        assert resumed["start_epoch"] == 1.0, resumed["start_epoch"]
     if pid == 0:
         print("METRICS " + json.dumps(best), flush=True)
     print(f"TRAINER_OK p{pid}", flush=True)

@@ -45,9 +45,12 @@ def test_two_process_psum():
 
 
 def _run_trainer_workers(data_axis, model_axis, schedule, timeout=570):
+    import tempfile
+
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+    env["DIST_TRAINER_DIR"] = tempfile.mkdtemp(prefix="dist_trainer_")
     procs = [
         subprocess.Popen(
             [sys.executable,
