@@ -64,12 +64,14 @@ def _bdot(x, y, contract, dtype=None):
     """Batched dot over leading batch dim: x [B, ., .], y [B, ., .].
 
     dtype=bfloat16 casts the OPERANDS only (accumulation stays fp32 via
-    preferred_element_type) — the MXU-native single-pass mode. Mosaic runs
-    fp32-operand matmuls as multi-pass fp32 regardless of jax's DEFAULT
-    matmul precision, so without the cast the kernel pays ~6x the MXU work
-    that the surrounding XLA ops (which do honor DEFAULT = bf16-input /
-    fp32-accumulate on TPU) pay; the measured-no-op metric result for that
-    precision class is results/bf16_drive* (BASELINE.md)."""
+    preferred_element_type). MEASURED on chip to be a no-op on the current
+    toolchain (results/attn_bf16.json): outputs bit-identical to the
+    f32-operand form and timing within noise (casts slightly slower) —
+    i.e. Mosaic already lowers these f32 matmuls to single-pass
+    bf16-class MXU passes (the fwd rate, ~81 TF/s executed at T=160,
+    rules out 3-/6-pass fp32 decompositions). The knob exists so a future
+    toolchain that runs f32 operands multi-pass can be re-measured and
+    flipped without kernel surgery."""
     if dtype is not None:
         x, y = x.astype(dtype), y.astype(dtype)
     return jax.lax.dot_general(
@@ -194,11 +196,13 @@ def fused_attention(q, k, v, bias, seed, heads, rate, mxu_bf16=False):
     cotangents.
 
     mxu_bf16=True casts every matmul's operands to bfloat16 (fp32
-    accumulation — see _bdot): the precision class the surrounding XLA ops
-    already run at under jax's TPU DEFAULT, vs Mosaic's full-fp32
-    multi-pass. The dispatch site (models/encoders.py) selects it
-    measurement-driven; False keeps exact-fp32 parity with the interpret-
-    mode oracles (test_pallas_attention)."""
+    accumulation — see _bdot's measured-no-op note: on the current
+    toolchain both modes produce bit-identical outputs at the same speed,
+    so no dispatch site passes it; it is a guard for future toolchains).
+    The default False is exact vs the interpret-mode fp32 oracles
+    (test_pallas_attention); the bf16 mode has its own interpret-mode
+    oracle (test_fused_attention_bf16_operands), which pins the CAST
+    semantics — on chip, current Mosaic runs both modes identically."""
     return _fused_fwd_impl(q, k, v, bias, seed, heads, rate, mxu_bf16)
 
 

@@ -55,8 +55,15 @@ def initialize_distributed(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        if coordinator_address is not None:
-            raise  # an explicit multi-process setup failing is an error
+        if (
+            coordinator_address is not None
+            or num_processes is not None
+            or process_id is not None
+        ):
+            # ANY explicit multi-process arg failing must surface —
+            # swallowing it would leave N processes each training
+            # independently into the same model_dir
+            raise
         # auto-discovery unavailable — single-process environment
         pass
 

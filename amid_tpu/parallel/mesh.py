@@ -32,9 +32,18 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     cfg = cfg or MeshConfig()
     # Fully explicit axes may use a SUBSET of the visible devices (e.g. a
     # 1x1 mesh on an 8-device host — used by the shard_map-vs-plain parity
-    # test, or pinning a job to part of a slice).
+    # test, or pinning a job to part of a slice). NOT under multi-process:
+    # a mesh that excludes some processes' devices would leave those
+    # processes executing programs they hold no shards of (hang/failure,
+    # not a clear error) — every process must participate.
     if cfg.data_axis > 0 and cfg.model_axis > 0:
         need = cfg.data_axis * cfg.model_axis
+        if need < len(devices) and jax.process_count() > 1:
+            raise ValueError(
+                f"explicit mesh {cfg.data_axis}x{cfg.model_axis} covers "
+                f"{need} of {len(devices)} global devices; multi-process "
+                "runs must use all devices (every process participates)"
+            )
         if need <= len(devices):
             devices = devices[:need]
     data, model = cfg.axis_sizes(len(devices))

@@ -16,9 +16,13 @@ measured in results/ckpt_cost.json:
   checkpoint.
 * ``payload`` — "full" (default), "bf16_moments" (optimizer moments cast to
   bfloat16: ~half the bytes; Adam moments don't need fp32 precision to
-  resume), or "params_only" (no optimizer state at all: a resume restarts
-  the moments from zero — fine for inference/transplant checkpoints, NOT
-  bit-faithful resume).
+  resume), or "params_only" (no optimizer state at all: restore() ZEROES
+  the moments so both resume and NaN-rollback restart the optimizer
+  cleanly — fine for inference/transplant checkpoints, NOT bit-faithful
+  resume). The mode is recorded in the checkpoint dir and validated on
+  reopen. Measured costs: results/ckpt_cost.json (bf16_moments is SLOWER
+  through this tunnel — eager casts + slow bf16 fetch; it exists for
+  disk-bound filesystems).
 """
 
 from __future__ import annotations
@@ -55,6 +59,27 @@ class CheckpointManager:
         self._payload = payload
         self._dir = Path(directory).absolute()
         self._dir.mkdir(parents=True, exist_ok=True)
+        # Record the payload mode so a later resume with a different
+        # --checkpoint_payload fails with a clear message instead of an
+        # opaque orbax structure error (full->params_only would otherwise
+        # silently drop the saved moments).
+        mode_file = self._dir / "payload_mode.txt"
+        if mode_file.exists():
+            saved = mode_file.read_text().strip()
+            if saved != payload:
+                raise ValueError(
+                    f"checkpoint dir {self._dir} was written with "
+                    f"payload={saved}; resume with --checkpoint_payload "
+                    f"{saved} (got {payload})"
+                )
+        else:
+            try:
+                import jax as _jax
+
+                if _jax.process_index() == 0:
+                    mode_file.write_text(payload)
+            except Exception:
+                mode_file.write_text(payload)
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
@@ -89,7 +114,10 @@ class CheckpointManager:
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of `state_like` (a TrainState).
         Moments saved as bf16 are cast back to the template's fp32;
-        params_only checkpoints keep `state_like`'s (fresh) moments."""
+        params_only checkpoints get ZEROED optimizer moments — NOT
+        `state_like`'s current ones, which on the NaN-rollback path
+        (loop._handle_nan) are exactly the contaminated moments being
+        rolled away. A zeroed Adam restarts cleanly (count included)."""
         import orbax.checkpoint as ocp
 
         from amid_tpu.train.steps import TrainState
@@ -107,15 +135,21 @@ class CheckpointManager:
                 saved, like,
             )
 
+        def zeroed(like):
+            return (
+                None if like is None
+                else jax.tree_util.tree_map(jnp.zeros_like, like)
+            )
+
         opt_state = (
             widen(restored["opt_state"], state_like.opt_state)
             if "opt_state" in restored
-            else state_like.opt_state
+            else zeroed(state_like.opt_state)
         )
         opt_state2 = (
             widen(restored["opt_state2"], state_like.opt_state2)
             if "opt_state2" in restored
-            else state_like.opt_state2
+            else zeroed(state_like.opt_state2)
         )
         return TrainState(restored["params"], opt_state, opt_state2)
 

@@ -94,9 +94,12 @@ def evaluate(
     tf = time.perf_counter()
     metrics = acc.finalize()
     # one stacked fetch instead of one ~1 ms tunnel round-trip per batch
-    # (multi-process: the losses are replicated global arrays — eager
-    # jnp.stack over non-addressable devices is not allowed, so fetch the
-    # scalars individually; there is no tunnel RTT to amortize there)
+    # (multi-process: fetch the replicated scalars individually — each is a
+    # local read, there is no tunnel RTT to amortize, and it avoids
+    # depending on eager multi-device stacking semantics. Eager lockstep
+    # ops on global arrays DO work — the per-step 2-process trainer test
+    # exercises the train loop's latch math — this is just the cheaper,
+    # dependency-free form here.)
     if not val_losses:
         metrics["val_loss"] = 0.0
     elif jax.process_count() > 1:

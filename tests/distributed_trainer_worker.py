@@ -7,7 +7,11 @@ addressable shards their slices; process 0 prints the best-metric dict for
 the parent to compare against the single-process GSPMD run at the same
 logical mesh (VERDICT r4 #1 — the last untested multi-host seam).
 
-Run: python distributed_trainer_worker.py <pid> <port> <data_axis> <model_axis> <schedule>
+Run: DIST_TRAINER_DIR=<shared_model_dir> python distributed_trainer_worker.py \
+       <pid> <port> <data_axis> <model_axis> <schedule>
+Schedules: "dr" = full DR + fast scanned loops + bf16_moments checkpoint
+save/resume on the shared dir; "base" = per-step loops (fast_train/eval
+off) so the latch math and per-batch eval are multi-process-proven too.
 """
 
 import json
@@ -59,9 +63,17 @@ def main() -> None:
     cfg.mesh_impl = "gspmd"
     cfg.mesh = MeshConfig(data_axis=data_axis, model_axis=model_axis)
     if is_dr:
-        # exercise the multi-process orbax save (epoch-end checkpoint)
+        # exercise the multi-process orbax save (epoch-end checkpoint),
+        # including the bf16_moments eager casts on global arrays
         cfg.checkpoint = True
         cfg.checkpoint_every = 0
+        cfg.checkpoint_payload = "bf16_moments"
+    else:
+        # the base-schedule worker covers the PER-STEP loops (train latch
+        # math + per-batch eval) under multi-process; the DR worker covers
+        # the default scanned fast paths
+        cfg.fast_train = False
+        cfg.fast_eval = False
     best = run_seed(
         cfg, seed=0, train_ds=train, val_ds=val, dr_ds=dr if is_dr else None
     )

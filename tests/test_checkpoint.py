@@ -153,17 +153,43 @@ def test_bf16_moments_roundtrip(tmp_path, rng):
     mgr.close()
 
 
-def test_params_only_keeps_fresh_moments(tmp_path, rng):
+def test_params_only_zeroes_moments(tmp_path, rng):
+    """params_only restore must ZERO the moments, not keep the template's:
+    on the NaN-rollback path the template IS the contaminated state."""
     state = _state(rng)
     mgr = CheckpointManager(
         str(tmp_path / "po"), keep=1, payload="params_only"
     )
     mgr.save(1, state)
     blank = _state(rng, seed_val=3.0)
-    restored = mgr.restore(blank)
+    # poison the template's moments as the NaN-rollback path would see them
+    poisoned = blank._replace(
+        opt_state=jax.tree_util.tree_map(
+            lambda x: x + np.nan if x.dtype == jnp.float32 else x,
+            blank.opt_state,
+        )
+    )
+    restored = mgr.restore(poisoned)
     np.testing.assert_array_equal(
         np.asarray(restored.params["w"]), np.asarray(state.params["w"])
     )
-    # moments are the template's (fresh), not the saved run's
-    assert restored.opt_state is blank.opt_state
+    for leaf in jax.tree_util.tree_leaves(restored.opt_state):
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.zeros_like(np.asarray(leaf))
+        )
     mgr.close()
+
+
+def test_payload_mode_mismatch_rejected(tmp_path, rng):
+    """A resume with a different --checkpoint_payload than the dir was
+    written with fails loudly, not with an orbax structure error (or a
+    silent moment drop)."""
+    import pytest
+
+    state = _state(rng)
+    d = str(tmp_path / "pm")
+    mgr = CheckpointManager(d, keep=1, payload="params_only")
+    mgr.save(1, state)
+    mgr.close()
+    with pytest.raises(ValueError, match="payload=params_only"):
+        CheckpointManager(d, keep=1, payload="full")
