@@ -129,3 +129,39 @@ def test_two_process_trainer_model_sharded(tmp_path):
     for k in ref:
         if k.startswith(("hit_", "ndcg_", "mrr")):
             assert dist[k] == pytest.approx(ref[k], abs=1e-5), k
+
+
+def test_put_global_single_process_is_device_put():
+    """put_global must be a transparent superset of jax.device_put at
+    process_count()==1 for every trainer sharding class (replicated,
+    batch-sharded, row-sharded tables, full pytrees with a broadcast
+    sharding)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from amid_tpu.parallel.distributed import put_global
+    from amid_tpu.parallel.mesh import make_mesh
+    from amid_tpu.config import MeshConfig
+
+    mesh = make_mesh(MeshConfig(data_axis=4, model_axis=2))
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    tsh = NamedSharding(mesh, P("model", None))
+
+    rng = np.random.default_rng(0)
+    batch = {"a": jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32)),
+             "b": jnp.arange(8, dtype=jnp.int32)}
+    table = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+
+    got = put_global(batch, bsh)  # single sharding broadcast over a tree
+    want = jax.device_put(batch, bsh)
+    for k in batch:
+        assert got[k].sharding == want[k].sharding
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+
+    for x, sh in ((table, tsh), (table, repl)):
+        g = put_global(x, sh)
+        assert g.sharding == sh
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(x))
