@@ -1,7 +1,7 @@
-"""Worker for the 2-process distributed test (test_distributed.py): joins a
-2-process JAX runtime over gloo CPU collectives, builds the host-aligned
-mesh, assembles a global array from process-local slices, and psums it.
-Run: python distributed_worker.py <process_id> <port>"""
+"""Worker for the N-process distributed test (test_distributed.py): joins
+an N-process JAX runtime over gloo CPU collectives, builds the
+host-aligned mesh, assembles a global array from process-local slices, and
+psums it. Run: python distributed_worker.py <process_id> <port> [nprocs]"""
 
 import os
 import sys
@@ -27,14 +27,15 @@ from amid_tpu.parallel.distributed import (  # noqa: E402
 
 def main() -> None:
     pid, port = int(sys.argv[1]), sys.argv[2]
+    nprocs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     initialize_distributed(
-        coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nprocs,
         process_id=pid,
     )
-    assert jax.process_count() == 2, jax.process_count()
+    assert jax.process_count() == nprocs, jax.process_count()
 
     mesh = make_host_aligned_mesh(model_axis=1)
-    assert mesh.shape["data"] == 2 * jax.local_device_count()
+    assert mesh.shape["data"] == nprocs * jax.local_device_count()
 
     gb = 8
     start, end = host_local_slice(gb)

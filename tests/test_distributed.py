@@ -17,18 +17,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_psum():
+def _run_psum_workers(nprocs):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # 1 CPU device per process
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "distributed_worker.py"),
-             str(i), str(port)],
+             str(i), str(port), str(nprocs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outs = []
     try:
@@ -42,6 +42,16 @@ def test_two_process_psum():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"DIST_OK p{i}" in out, out
+
+
+def test_two_process_psum():
+    _run_psum_workers(2)
+
+
+def test_four_process_psum():
+    """Process counts beyond 2: the runtime/mesh/global-assembly layer is
+    N-way, not pairwise (4 gloo processes, 1 CPU device each)."""
+    _run_psum_workers(4)
 
 
 def _run_trainer_workers(data_axis, model_axis, schedule, timeout=570):
