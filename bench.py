@@ -5,10 +5,13 @@ Config = the reference's canonical run (run.sh:1): SASRec backbone +
 InterComp + DR heads, batch 256, seq_len 20, emb_dim 128, full mybank-scale
 vocab (894,820-row item table). Synthetic ids (the step is data-independent
 in cost); negative sampling, forward, backward, and the Adam update all run
-on device inside one jit program. Default optimizer path is the lazy
-(touched-rows-only) table Adam — the framework's best honest flagship
-config (identical model/losses; `--dense` measures the reference-equivalent
-dense-table Adam). Kernel dispatch defaults to `auto` (pallas scatter +
+on device inside one jit program. Default optimizer path is shape-resolved
+by measurement (see --lazy): the lazy (touched-rows-only) table Adam at
+protocol mybank shapes — the framework's best honest flagship config
+(identical model/losses) — and dense Adam at amazon shapes, where it
+measures faster (`--lazy`/`--dense` force either; `--dense` is the
+reference-equivalent optimizer cost). Kernel dispatch defaults to `auto`
+(pallas scatter +
 attention on TPU; measurement table in docs/PERF.md, results/perf_pass.json).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -312,9 +315,14 @@ if __name__ == "__main__":
     ap.add_argument("--host_loop", dest="device_loop", action="store_false",
                     help="legacy host-dispatched timing loop (async pipeline;"
                          " measures the 2-core host under load, not the chip)")
-    ap.add_argument("--lazy", dest="lazy", action="store_true", default=True,
-                    help="sparse table updates (train/lazy.py; default — the "
-                         "best honest flagship config, same losses/model)")
+    ap.add_argument("--lazy", dest="lazy", action="store_true", default=None,
+                    help="sparse table updates (train/lazy.py). Default is "
+                         "shape-resolved by measurement: lazy at protocol "
+                         "mybank shapes (seq_len 20: 49.9k vs 21.7k dense), "
+                         "dense at amazon shapes (seq_len 150: 9.6k dense vs "
+                         "8.1k lazy — longer sequences touch ~7x the table "
+                         "rows per step, eroding the sparse win; round-5 "
+                         "perf_pass/STATUS.md)")
     ap.add_argument("--dense", dest="lazy", action="store_false",
                     help="dense Adam over the full table (reference-"
                          "equivalent optimizer cost)")
@@ -324,6 +332,10 @@ if __name__ == "__main__":
                          "the bs-8192 capability point is ~95% HBM-bound, "
                          "results/roofline_8192.json)")
     args = ap.parse_args()
+    if args.lazy is None:
+        # measured crossover between the two committed points (docstring of
+        # --lazy); both optimizers train the same model/losses
+        args.lazy = args.seq_len < 100
     if args.baseline:
         eps = bench_baseline()
         print(json.dumps({"metric": "baseline_train_examples_per_s",
